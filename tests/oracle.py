@@ -1,0 +1,222 @@
+"""In-process oracle: run the *reference* implementation (/root/reference) as ground
+truth for trajectory-exactness tests.
+
+The reference cannot run unmodified on Linux/at HEAD (SURVEY.md Q1/Q7), so this
+harness applies the minimal, documented fixes *at import time* without copying any
+reference code into this repo:
+
+- stubs the legacy ``gym`` package (reference imports gym.Env / gym.spaces.Box /
+  gym.utils.seeding; none of its behavior is exercised by the env itself),
+- redirects the path constants in ``smart_nanogrid_gym.utils.config`` (reference
+  hardcodes Windows '\\\\' separators, utils/config.py:4-5) to a scratch directory,
+- fixes the Q1 TypeError: ``Penaliser.penalise_nanogrid_resource_issues`` is called
+  with 8 kwargs (central_management_system.py:176-179) but accepts 2
+  (penaliser.py:95-96); the patched version accepts and ignores the extras and keeps
+  the DoD-penalty math (penaliser.py:104-111), per SURVEY.md's "Q1-fixed" stance.
+
+Everything else runs the reference byte-for-byte from /root/reference.
+"""
+
+import json
+import shutil
+import sys
+import tempfile
+import types
+from pathlib import Path
+
+import numpy as np
+
+REFERENCE_ROOT = "/root/reference"
+
+_setup_done = False
+_scratch_dir = None
+
+
+def _install_gym_stub():
+    """Provide the minimal legacy-gym surface the reference imports."""
+    if "gym" in sys.modules and getattr(sys.modules["gym"], "_nanogrid_oracle_stub", False):
+        return
+
+    gym = types.ModuleType("gym")
+    gym._nanogrid_oracle_stub = True
+
+    class Env:
+        metadata = {}
+
+        def reset(self, **kwargs):
+            raise NotImplementedError
+
+        def step(self, action):
+            raise NotImplementedError
+
+        def close(self):
+            pass
+
+    class Box:
+        def __init__(self, low, high, shape=None, dtype=np.float32):
+            self.low = np.broadcast_to(np.asarray(low, dtype=dtype), shape) if shape else np.asarray(low, dtype=dtype)
+            self.high = np.broadcast_to(np.asarray(high, dtype=dtype), shape) if shape else np.asarray(high, dtype=dtype)
+            self.shape = shape if shape is not None else np.asarray(low).shape
+            self.dtype = dtype
+
+        def sample(self):
+            return np.random.uniform(self.low, self.high).astype(self.dtype)
+
+    spaces = types.ModuleType("gym.spaces")
+    spaces.Box = Box
+
+    utils = types.ModuleType("gym.utils")
+    seeding = types.ModuleType("gym.utils.seeding")
+
+    def np_random(seed=None):
+        return np.random.RandomState(seed), seed
+
+    seeding.np_random = np_random
+    utils.seeding = seeding
+
+    envs = types.ModuleType("gym.envs")
+    registration = types.ModuleType("gym.envs.registration")
+    _registry = {}
+
+    def register(id=None, entry_point=None, **kwargs):
+        _registry[id] = (entry_point, kwargs)
+
+    registration.register = register
+    registration.registry = _registry
+
+    def make(id, **kwargs):
+        raise NotImplementedError("oracle stub: construct SmartNanogridEnv directly")
+
+    def spec(id):
+        return _registry.get(id)
+
+    registration.make = make
+    registration.spec = spec
+    envs.registration = registration
+
+    gym.Env = Env
+    gym.spaces = spaces
+    gym.utils = utils
+    gym.envs = envs
+    gym.register = register
+
+    sys.modules["gym"] = gym
+    sys.modules["gym.spaces"] = spaces
+    sys.modules["gym.utils"] = utils
+    sys.modules["gym.utils.seeding"] = seeding
+    sys.modules["gym.envs"] = envs
+    sys.modules["gym.envs.registration"] = registration
+
+
+def setup_reference(scratch_dir=None):
+    """Import the reference package with path + Q1 patches applied. Idempotent.
+
+    Returns the scratch data directory used for the reference's file IO.
+    """
+    global _setup_done, _scratch_dir
+    if _setup_done:
+        return _scratch_dir
+
+    _install_gym_stub()
+
+    # The reference traps "impossible" states with live breakpoint() calls
+    # (central_management_system.py:165, charging_station.py:100,110,
+    # penaliser.py:122 — SURVEY.md Q4).  Disable them so oracle runs proceed
+    # (our stance: never block; the math after the trap is well-defined).
+    import os
+
+    os.environ["PYTHONBREAKPOINT"] = "0"
+
+    if scratch_dir is None:
+        scratch_dir = tempfile.mkdtemp(prefix="nanogrid_oracle_")
+    scratch = Path(scratch_dir)
+    (scratch / "data").mkdir(parents=True, exist_ok=True)
+    (scratch / "out").mkdir(parents=True, exist_ok=True)
+
+    # The reference's PV manager loads data_files_directory_path + 'solar_irradiance.mat'
+    shutil.copy(
+        Path(REFERENCE_ROOT) / "smart_nanogrid_gym" / "files" / "solar_irradiance.mat",
+        scratch / "data" / "solar_irradiance.mat",
+    )
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    # Patch path constants BEFORE any consumer module binds them
+    # (reference utils/config.py:4-5 uses Windows separators).
+    import smart_nanogrid_gym.utils.config as ref_config
+
+    ref_config.data_files_directory_path = str(scratch / "data") + "/"
+    ref_config.solvers_files_directory_path = str(scratch / "out") + "/"
+
+    # Q1 fix (SURVEY.md): accept the 8-kwarg call, keep only the DoD penalty.
+    from smart_nanogrid_gym.utils.penaliser import Penaliser
+
+    def penalise_nanogrid_resource_issues(self, current_state_of_charge, depth_of_discharge, **_ignored):
+        self.penalise_battery_state_below_depth_of_discharge(current_state_of_charge, depth_of_discharge)
+
+    Penaliser.penalise_nanogrid_resource_issues = penalise_nanogrid_resource_issues
+
+    _setup_done = True
+    _scratch_dir = str(scratch)
+    return _scratch_dir
+
+
+def make_reference_env(**config):
+    """Construct the reference SmartNanogridEnv with the given ctor kwargs."""
+    setup_reference()
+    from smart_nanogrid_gym.envs.smart_nanogrid_environment import SmartNanogridEnv
+
+    return SmartNanogridEnv(**config)
+
+
+def reference_schedule_as_dict(env):
+    """Extract the generated day schedule from a reference env as plain arrays."""
+    station = env.central_management_system.charging_station
+    return {
+        "SOC": np.asarray(station.get_vehicles_state_of_charge(), dtype=np.float64),
+        "Arrivals": [list(a) for a in station.arrivals],
+        "Departures": [[int(d) for d in ds] for ds in station.departures],
+        "Charger_occupancy": np.asarray(station.get_occupancy_for_all_chargers(), dtype=np.float64),
+        "Vehicle_capacities": np.asarray(station.get_vehicle_capacities_for_all_chargers(), dtype=np.float64),
+        "Requested_SOC": np.asarray(station.get_requested_end_state_of_charge_for_all_chargers(), dtype=np.float64),
+    }
+
+
+def run_reference_episode(env, actions_per_step, pv_shift=1.0, freeze_pv_shift=True):
+    """Roll one episode through the reference env with a fixed action sequence.
+
+    Returns dict with per-step observations, rewards, the reset observation, and
+    the day schedule *as generated* (the reference mutates its SoC arrays in
+    place while stepping, charger.py:86,136, so the schedule must be captured
+    before stepping).  ``pv_shift`` is forced (the reference draws it from
+    stdlib random at reset, smart_nanogrid_environment.py:349; we pin it for
+    determinism).
+    """
+    obs0, _ = env.reset()
+    if freeze_pv_shift:
+        env.random_pv_shift_ratio = pv_shift
+        # reset() already computed obs with a random shift; recompute deterministically
+        obs0 = _recompute_reset_obs(env)
+    schedule = reference_schedule_as_dict(env)
+
+    observations, rewards, dones = [], [], []
+    for actions in actions_per_step:
+        obs, reward, done, _, _ = env.step(np.asarray(actions, dtype=np.float64))
+        observations.append(np.asarray(obs, dtype=np.float32))
+        rewards.append(float(reward))
+        dones.append(bool(done))
+        if done:
+            break
+    return {
+        "reset_obs": np.asarray(obs0, dtype=np.float32),
+        "observations": observations,
+        "rewards": rewards,
+        "dones": dones,
+        "schedule": schedule,
+    }
+
+
+def _recompute_reset_obs(env):
+    # Private-name mangling: SmartNanogridEnv.__get_observations
+    return env._SmartNanogridEnv__get_observations()
