@@ -144,6 +144,20 @@ class NanogridConfig:
             return "b-pv"
         return "basic"
 
+    def action_bounds(self):
+        """Action-space bounds per the reference
+        (envs/smart_nanogrid_environment.py:101-118): chargers in [0,1]
+        (or [-1,1] with v2x), battery appended with low -1."""
+        import numpy as np
+
+        n = self.num_chargers
+        low = np.full(n, -1.0 if self.vehicle_to_everything else 0.0, dtype=np.float32)
+        high = np.ones(n, dtype=np.float32)
+        if self.battery_system:
+            low = np.append(low, -1.0).astype(np.float32)
+            high = np.append(high, 1.0).astype(np.float32)
+        return low, high
+
     # ---- construction helpers -------------------------------------------------
 
     @classmethod

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from .config import NanogridConfig
 from .params import NanogridParams, make_params
+from .rollout import fused_day_rollout
 from .state import DaySchedule, EnvState
 from .step import StepResult, observe, reset, step
 
@@ -83,28 +84,32 @@ class SmartNanogridTPU:
         policy_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
         obs: jnp.ndarray,
         batched: bool = True,
+        key: jnp.ndarray | None = None,
     ):
-        """Roll exactly one day (``steps_per_day`` steps) with ``lax.scan``.
+        """Roll exactly one day via the fused time-major kernel
+        (:func:`..core.rollout.fused_day_rollout`).
 
         ``policy_fn(obs, key) -> actions``.  Days are fixed-length, so rollouts
         never need data-dependent resets (``done`` always fires at step T-1 —
-        envs/smart_nanogrid_environment.py:233-237).
+        envs/smart_nanogrid_environment.py:233-237).  ``state.t`` must be 0.
 
-        Returns ``(final_state, final_obs, trajectory)`` where the trajectory
-        leaves are stacked along a leading time axis.
+        Returns ``(final_state, final_obs, (obs, reward, done, info))`` with
+        trajectory leaves stacked along a leading time axis.
         """
         cfg = self.config
-        step_fn = jax.vmap(functools.partial(step, cfg)) if batched else functools.partial(step, cfg)
-
-        def body(carry, key_t):
-            st, ob = carry
-            actions = policy_fn(ob, key_t)
-            res = step_fn(params, st, actions)
-            return (res.state, res.obs), (res.obs, res.reward, res.done, res.info)
-
-        keys = jax.random.split(jax.random.PRNGKey(0), cfg.steps_per_day)
-        (final_state, final_obs), traj = jax.lax.scan(body, (state, obs), keys)
-        return final_state, final_obs, traj
+        if not batched:
+            params = jax.tree.map(lambda x: x[None], params)
+            state = jax.tree.map(lambda x: x[None], state)
+        final_state, (obs_traj, rewards, dones, infos) = fused_day_rollout(
+            cfg, params, state, policy_fn, key if key is not None else jax.random.PRNGKey(0),
+            collect_info=True,
+        )
+        if not batched:
+            final_state = jax.tree.map(lambda x: x[0], final_state)
+            obs_traj, rewards, dones, infos = jax.tree.map(
+                lambda x: x[:, 0], (obs_traj, rewards, dones, infos)
+            )
+        return final_state, obs_traj[-1], (obs_traj, rewards, dones, infos)
 
     def rollout_actions(self, params, state, actions, batched: bool = True):
         """Roll a precomputed action sequence ``(T, ...)`` through ``lax.scan``."""

@@ -15,7 +15,6 @@ object stepped by a single Python loop.  The TPU-native scaling model:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
@@ -25,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import NanogridConfig
 from ..core.params import NanogridParams
-from ..core.step import step as core_step
+from ..core.rollout import fused_day_rollout
 
 ENV_AXIS = "envs"
 
@@ -56,18 +55,18 @@ def sharded_rollout_fn(
     ``mesh``.  The body is per-shard pure vmapped stepping — XLA inserts no
     collectives (verified by test_parallel.py) so scaling is linear over ICI.
     """
-    T = num_steps or config.steps_per_day
-    step_fn = jax.vmap(functools.partial(core_step, config))
+    num_days = max(1, (num_steps or config.steps_per_day) // config.steps_per_day)
 
     def shard_body(params, states, obs, keys):
-        def body(carry, key_t):
-            st, ob = carry
-            actions = policy_fn(ob, key_t)
-            res = step_fn(params, st, actions)
-            return (res.state, res.obs), (res.obs, res.reward, res.done)
-
-        (states_f, obs_f), traj = jax.lax.scan(body, (states, obs), keys)
-        return states_f, obs_f, traj
+        # keys: (num_days,) day keys (replicated); fused kernel per day
+        trajs = []
+        for d in range(num_days):
+            states, traj = fused_day_rollout(config, params, states, policy_fn, keys[d])
+            trajs.append(traj)
+        obs_traj, rewards, dones = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *trajs
+        )
+        return states, obs_traj[-1], (obs_traj, rewards, dones)
 
     spec = P(axis_name)
     traj_spec = P(None, axis_name)  # trajectories have a leading time axis

@@ -1,0 +1,244 @@
+"""On-device DDPG learner (reference: solvers/RL/ddpg_train.py).
+
+The reference trains SB3 DDPG with Ornstein-Uhlenbeck action noise (σ=0.5,
+ddpg_train.py:111) against one Python env.  Here the full loop — vectorized env
+stepping, a device-resident circular replay buffer, OU noise per env, target
+networks with polyak averaging — is one jitted program; the host loop only
+counts updates.
+
+Defaults follow SB3 DDPG: actor/critic 400-300 ReLU, lr 1e-3, γ 0.99, τ 5e-3,
+batch 256.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import NanogridConfig
+from ..core.params import NanogridParams
+from ..core.step import reset as core_reset, step as core_step
+from .networks import DDPGActor, DDPGCritic
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPGConfig:
+    learning_rate: float = 1e-3
+    gamma: float = 0.99
+    tau: float = 5e-3
+    batch_size: int = 256
+    buffer_days: int = 50          # replay capacity in days of the env batch
+    ou_sigma: float = 0.5          # reference ddpg_train.py:111
+    ou_theta: float = 0.15
+    steps_per_update: int = 24     # env steps collected per train call (one day)
+    gradient_steps: int = 24
+
+
+class ReplayBuffer(NamedTuple):
+    obs: jnp.ndarray       # (C, B, obs_dim)
+    actions: jnp.ndarray   # (C, B, act_dim)
+    rewards: jnp.ndarray   # (C, B)
+    next_obs: jnp.ndarray  # (C, B, obs_dim)
+    dones: jnp.ndarray     # (C, B)
+    insert_pos: jnp.ndarray
+    filled: jnp.ndarray
+
+
+class DDPGTrainState(NamedTuple):
+    actor_params: dict
+    critic_params: dict
+    target_actor_params: dict
+    target_critic_params: dict
+    actor_opt: optax.OptState
+    critic_opt: optax.OptState
+    buffer: ReplayBuffer
+    env_states: object
+    last_obs: jnp.ndarray
+    ou_state: jnp.ndarray  # (B, act_dim) Ornstein-Uhlenbeck noise state
+    key: jnp.ndarray
+    update_step: jnp.ndarray
+
+
+class DDPGLearner:
+    def __init__(self, env_config: NanogridConfig, ddpg_config: DDPGConfig | None = None, dtype=jnp.float32):
+        self.env_config = env_config
+        self.cfg = ddpg_config or DDPGConfig()
+        self.dtype = dtype
+        low, high = env_config.action_bounds()
+        self.actor = DDPGActor(env_config.num_actions, tuple(low.tolist()), tuple(high.tolist()))
+        self.critic = DDPGCritic()
+        self._action_low = jnp.asarray(low, dtype)
+        self._action_high = jnp.asarray(high, dtype)
+        self._train_step = None
+
+    def init(self, key, nanogrid_params: NanogridParams, batch_size: int) -> DDPGTrainState:
+        k_a, k_c, k_env, k_loop = jax.random.split(key, 4)
+        obs_dim = self.env_config.obs_dim
+        act_dim = self.env_config.num_actions
+        dummy_obs = jnp.zeros((1, obs_dim), self.dtype)
+        dummy_act = jnp.zeros((1, act_dim), self.dtype)
+        actor_params = self.actor.init(k_a, dummy_obs)
+        critic_params = self.critic.init(k_c, dummy_obs, dummy_act)
+        self.actor_tx = optax.adam(self.cfg.learning_rate)
+        self.critic_tx = optax.adam(self.cfg.learning_rate)
+
+        env_keys = jax.random.split(k_env, batch_size)
+        bparams = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch_size,) + x.shape), nanogrid_params)
+        reset_fn = jax.jit(jax.vmap(functools.partial(core_reset, self.env_config)))
+        env_states, obs = reset_fn(bparams, env_keys, None, None)
+        self.nanogrid_params_batched = bparams
+
+        C = self.cfg.buffer_days * self.env_config.steps_per_day
+        buffer = ReplayBuffer(
+            obs=jnp.zeros((C, batch_size, obs_dim), self.dtype),
+            actions=jnp.zeros((C, batch_size, act_dim), self.dtype),
+            rewards=jnp.zeros((C, batch_size), self.dtype),
+            next_obs=jnp.zeros((C, batch_size, obs_dim), self.dtype),
+            dones=jnp.zeros((C, batch_size), bool),
+            insert_pos=jnp.zeros((), jnp.int32),
+            filled=jnp.zeros((), jnp.int32),
+        )
+        return DDPGTrainState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            target_actor_params=actor_params,
+            target_critic_params=critic_params,
+            actor_opt=self.actor_tx.init(actor_params),
+            critic_opt=self.critic_tx.init(critic_params),
+            buffer=buffer,
+            env_states=env_states,
+            last_obs=obs.astype(self.dtype),
+            ou_state=jnp.zeros((batch_size, act_dim), self.dtype),
+            key=k_loop,
+            update_step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------ body --
+
+    def _collect(self, state: DDPGTrainState, env_params, key):
+        """Collect steps_per_update env steps with OU exploration noise."""
+        step_fn = jax.vmap(functools.partial(core_step, self.env_config))
+        theta, sigma = self.cfg.ou_theta, self.cfg.ou_sigma
+
+        def body(carry, key_t):
+            env_states, obs, ou, buffer = carry
+            action_det = self.actor.apply(state.actor_params, obs)
+            ou = ou - theta * ou + sigma * jax.random.normal(key_t, ou.shape, self.dtype)
+            action = jnp.clip(action_det + ou, self._action_low, self._action_high)
+            res = step_fn(env_params, env_states, action)
+            pos = buffer.insert_pos
+            C = buffer.obs.shape[0]
+            buffer = buffer._replace(
+                obs=jax.lax.dynamic_update_index_in_dim(buffer.obs, obs, pos, 0),
+                actions=jax.lax.dynamic_update_index_in_dim(buffer.actions, action, pos, 0),
+                rewards=jax.lax.dynamic_update_index_in_dim(
+                    buffer.rewards, res.reward.astype(self.dtype), pos, 0
+                ),
+                next_obs=jax.lax.dynamic_update_index_in_dim(
+                    buffer.next_obs, res.obs.astype(self.dtype), pos, 0
+                ),
+                dones=jax.lax.dynamic_update_index_in_dim(buffer.dones, res.done, pos, 0),
+                insert_pos=(pos + 1) % C,
+                filled=jnp.minimum(buffer.filled + 1, C),
+            )
+            return (res.state, res.obs.astype(self.dtype), ou, buffer), res.reward
+
+        keys = jax.random.split(key, self.cfg.steps_per_update)
+        (env_states, obs, ou, buffer), rewards = jax.lax.scan(
+            body, (state.env_states, state.last_obs, state.ou_state, state.buffer), keys
+        )
+        return env_states, obs, ou, buffer, rewards
+
+    def _sample(self, buffer: ReplayBuffer, key):
+        B = buffer.obs.shape[1]
+        k1, k2 = jax.random.split(key)
+        t_idx = jax.random.randint(k1, (self.cfg.batch_size,), 0, jnp.maximum(buffer.filled, 1))
+        b_idx = jax.random.randint(k2, (self.cfg.batch_size,), 0, B)
+        return (
+            buffer.obs[t_idx, b_idx],
+            buffer.actions[t_idx, b_idx],
+            buffer.rewards[t_idx, b_idx],
+            buffer.next_obs[t_idx, b_idx],
+            buffer.dones[t_idx, b_idx],
+        )
+
+    def _train_body(self, state: DDPGTrainState, env_params):
+        key, k_collect, k_grad = jax.random.split(state.key, 3)
+        env_states, obs, ou, buffer, rewards = self._collect(state, env_params, k_collect)
+        gamma = self.cfg.gamma
+        tau = self.cfg.tau
+
+        def gradient_step(carry, key_g):
+            actor_params, critic_params, t_actor, t_critic, a_opt, c_opt = carry
+            b_obs, b_act, b_rew, b_next, b_done = self._sample(buffer, key_g)
+
+            next_action = self.actor.apply(t_actor, b_next)
+            target_q = b_rew + gamma * (1.0 - b_done.astype(self.dtype)) * self.critic.apply(
+                t_critic, b_next, next_action
+            )
+
+            def critic_loss(p):
+                q = self.critic.apply(p, b_obs, b_act)
+                return ((q - target_q) ** 2).mean()
+
+            c_loss, c_grads = jax.value_and_grad(critic_loss)(critic_params)
+            c_updates, c_opt = self.critic_tx.update(c_grads, c_opt, critic_params)
+            critic_params = optax.apply_updates(critic_params, c_updates)
+
+            def actor_loss(p):
+                a = self.actor.apply(p, b_obs)
+                return -self.critic.apply(critic_params, b_obs, a).mean()
+
+            a_loss, a_grads = jax.value_and_grad(actor_loss)(actor_params)
+            a_updates, a_opt = self.actor_tx.update(a_grads, a_opt, actor_params)
+            actor_params = optax.apply_updates(actor_params, a_updates)
+
+            polyak = lambda t, p: jax.tree.map(lambda a, b: (1 - tau) * a + tau * b, t, p)
+            t_actor = polyak(t_actor, actor_params)
+            t_critic = polyak(t_critic, critic_params)
+            return (actor_params, critic_params, t_actor, t_critic, a_opt, c_opt), (c_loss, a_loss)
+
+        keys = jax.random.split(k_grad, self.cfg.gradient_steps)
+        carry = (
+            state.actor_params, state.critic_params,
+            state.target_actor_params, state.target_critic_params,
+            state.actor_opt, state.critic_opt,
+        )
+        carry, (c_losses, a_losses) = jax.lax.scan(gradient_step, carry, keys)
+        actor_params, critic_params, t_actor, t_critic, a_opt, c_opt = carry
+
+        new_state = DDPGTrainState(
+            actor_params, critic_params, t_actor, t_critic, a_opt, c_opt,
+            buffer, env_states, obs, ou, key, state.update_step + 1,
+        )
+        metrics = {
+            "critic_loss": c_losses.mean(),
+            "actor_loss": a_losses.mean(),
+            "mean_return": rewards.sum(axis=0).mean(),
+        }
+        return new_state, metrics
+
+    def build_train_step(self):
+        if self._train_step is None:
+            self._train_step = jax.jit(self._train_body)
+        return self._train_step
+
+    def train(self, state, num_updates, log_every=0):
+        step_fn = self.build_train_step()
+        history = []
+        for i in range(num_updates):
+            state, metrics = step_fn(state, self.nanogrid_params_batched)
+            if log_every and (i % log_every == 0 or i == num_updates - 1):
+                history.append({k: float(v) for k, v in metrics.items()})
+        return state, history
+
+    def policy_fn(self, actor_params):
+        def policy(obs, key=None):
+            return self.actor.apply(actor_params, obs)
+
+        return policy

@@ -1,0 +1,105 @@
+"""Policy evaluation flows.
+
+Re-expresses the reference evaluator/predictor scripts (solvers/evaluator.py,
+solvers/predictor.py) TPU-natively:
+
+- the reference compares controllers by replaying the *same generated day*
+  across models via ``initial_values.json`` round-trips
+  (solvers/evaluator.py:89-101, its only fixture mechanism);
+  :func:`evaluate_policies_same_days` does the same thing on device: one
+  schedule batch is generated once and shared by every policy, so comparisons
+  are paired sample-for-sample — no file IO needed;
+- the reference predictor rolls a single day per trained model and dumps
+  telemetry (solvers/predictor.py:85-94); :func:`predict_single_day` returns
+  the full stacked StepInfo telemetry for one day.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import NanogridConfig
+from ..core.generate import generate_schedule
+from ..core.params import NanogridParams
+from ..core.state import StepInfo
+from ..core.step import reset as core_reset, step as core_step
+
+
+def evaluate_policies_same_days(
+    config: NanogridConfig,
+    params: NanogridParams,
+    policies: dict[str, Callable],
+    num_days: int = 100,
+    seed: int = 0,
+) -> dict[str, np.ndarray]:
+    """Evaluate several policies on identical generated days (paired design).
+
+    ``policies`` maps name -> ``policy(obs, key) -> actions`` (vectorized over a
+    leading batch axis).  Returns name -> per-day returns array of shape
+    (num_days,).  Mirrors the reference evaluator's same-day fairness across
+    models (solvers/evaluator.py:89-101) with days as the batch axis.
+    """
+    key = jax.random.PRNGKey(seed)
+    env_keys = jax.random.split(key, num_days)
+    bparams = jax.tree.map(lambda x: jnp.broadcast_to(x, (num_days,) + x.shape), params)
+    reset_fn = jax.jit(jax.vmap(functools.partial(core_reset, config)))
+    states0, obs0 = reset_fn(bparams, env_keys, None, None)
+
+    step_fn = jax.vmap(functools.partial(core_step, config))
+
+    results = {}
+    for name, policy in policies.items():
+
+        def body(carry, key_t, policy=policy):
+            st, ob = carry
+            actions = policy(ob, key_t)
+            res = step_fn(bparams, st, actions)
+            return (res.state, res.obs), res.reward
+
+        @jax.jit
+        def rollout(states, obs):
+            keys = jax.random.split(jax.random.PRNGKey(0), config.steps_per_day)
+            (_, _), rewards = jax.lax.scan(body, (states, obs), keys)
+            return rewards.sum(axis=0)
+
+        results[name] = np.asarray(rollout(states0, obs0))
+    return results
+
+
+def predict_single_day(
+    config: NanogridConfig,
+    params: NanogridParams,
+    policy: Callable,
+    seed: int = 0,
+    schedule=None,
+    pv_shift: float | None = None,
+) -> tuple[np.ndarray, StepInfo]:
+    """Roll one day with a policy; returns (per-step rewards, stacked StepInfo).
+
+    The stacked StepInfo carries every telemetry series the reference dumps to
+    ``prediction_results.json`` (envs/smart_nanogrid_environment.py:246-275).
+    """
+    key = jax.random.PRNGKey(seed)
+    state, obs = core_reset(config, params, key, schedule=schedule)
+    if pv_shift is not None:
+        state = state._replace(pv_shift=jnp.asarray(pv_shift, params.dtype))
+
+    def body(carry, key_t):
+        st, ob = carry
+        actions = policy(ob, key_t)
+        res = core_step(config, params, st, actions)
+        return (res.state, res.obs), (res.reward, res.info)
+
+    @jax.jit
+    def rollout(state, obs):
+        keys = jax.random.split(jax.random.PRNGKey(1), config.steps_per_day)
+        (_, _), (rewards, infos) = jax.lax.scan(body, (state, obs), keys)
+        return rewards, infos
+
+    rewards, infos = rollout(state, obs)
+    return np.asarray(rewards), infos
