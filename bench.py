@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from smart_nanogrid_gym_tpu.core import NanogridConfig, make_params
 from smart_nanogrid_gym_tpu.core.rollout import fused_day_rollout
-from smart_nanogrid_gym_tpu.core.step import reset as core_reset
+from smart_nanogrid_gym_tpu.core.transition import reset as core_reset
 from smart_nanogrid_gym_tpu.solvers.rbc import rbc_policy
 
 REFERENCE_STEPS_PER_SEC = 1699.0  # measured in this container, see module docstring

@@ -33,7 +33,7 @@ except ImportError:  # pragma: no cover
 
 from ..core import NanogridConfig, make_params
 from ..core.generate import load_initial_values_json, schedule_to_json_dict
-from ..core.step import reset as core_reset, step as core_step
+from ..core.transition import reset as core_reset, step as core_step
 
 # The 28 telemetry series accumulated per step (reference env.py:143-171) and
 # their keys in prediction_results.json (reference env.py:246-275).

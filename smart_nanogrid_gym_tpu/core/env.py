@@ -22,7 +22,7 @@ from .config import NanogridConfig
 from .params import NanogridParams, make_params
 from .rollout import fused_day_rollout
 from .state import DaySchedule, EnvState
-from .step import StepResult, observe, reset, step
+from .transition import StepResult, observe, reset, step
 
 
 class SmartNanogridTPU:

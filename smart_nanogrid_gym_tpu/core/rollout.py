@@ -17,7 +17,7 @@ turns every per-step table lookup into a zero-cost ``lax.scan`` xs slice:
   once at day end.
 
 The body is pure element-wise VPU work on (B, N) blocks; XLA fuses it into a
-handful of kernels.  Exactness vs the sequential :func:`..core.step.step` path
+handful of kernels.  Exactness vs the sequential :func:`..core.transition.step` path
 is asserted in tests/test_rollout_fused.py.
 """
 
@@ -147,7 +147,7 @@ def fused_day_rollout(
     stacked aux pytree is appended to the trajectory — this is how the PPO
     learner collects log-probs/values without a second forward pass.
 
-    Produces results identical to 24 sequential :func:`..core.step.step` calls
+    Produces results identical to 24 sequential :func:`..core.transition.step` calls
     (asserted in tests), including the day-end PV-shift redraw and battery
     carry-over (SURVEY.md Q8).
     """

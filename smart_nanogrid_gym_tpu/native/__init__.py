@@ -1,0 +1,171 @@
+"""ctypes bindings for the native C++ runtime (see nanogrid_native.cpp).
+
+Provides:
+
+- :func:`generate_schedule_native` — bit-exact replay of the reference's
+  day-generation RNG stream from a numpy-style integer seed (the reference's
+  ``np.random.seed(seed)`` global-MT19937 stream, charging_station.py:200-279).
+- :class:`NativeEngine` — a standalone CPU serving engine with the exact
+  environment semantics; no Python/numpy/JAX in the step loop.
+
+The shared library is compiled on demand with g++ (once per checkout).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libnanogrid_native.so")
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(
+        os.path.join(_DIR, "nanogrid_native.cpp")
+    ):
+        subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    D = ctypes.POINTER(ctypes.c_double)
+    lib.ng_generate_schedule.restype = ctypes.c_int
+    lib.ng_generate_schedule.argtypes = [
+        ctypes.c_uint32, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int] + [D] * 8
+    lib.ng_engine_new.restype = ctypes.c_void_p
+    lib.ng_engine_new.argtypes = [
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, D, ctypes.c_int, D, D, ctypes.c_int]
+    lib.ng_engine_free.argtypes = [ctypes.c_void_p]
+    lib.ng_engine_obs_dim.restype = ctypes.c_int
+    lib.ng_engine_obs_dim.argtypes = [ctypes.c_void_p]
+    lib.ng_engine_reset.argtypes = [ctypes.c_void_p] + [D] * 8 + [
+        ctypes.c_double, ctypes.c_double, D]
+    lib.ng_engine_step.restype = ctypes.c_int
+    lib.ng_engine_step.argtypes = [ctypes.c_void_p, D, D, D, D, D]
+    _lib = lib
+    return lib
+
+
+def _ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+_SCHEDULE_FIELDS = (
+    "occupancy", "capacity", "requested_soc", "soc_init",
+    "is_arrival", "dep_obs", "mask_departing", "mask_departing3",
+)
+
+
+def generate_schedule_native(
+    seed: int,
+    num_chargers: int,
+    time_interval: float = 1.0,
+    table_len: int | None = None,
+    different_capacities: bool = True,
+    requested_soc: bool = False,
+) -> dict[str, np.ndarray]:
+    """Generate one day bit-identically to the reference under
+    ``np.random.seed(seed)``.  Returns dict of (N, L) float64 tables."""
+    lib = _load()
+    T = int(round(24.0 / time_interval))
+    L = table_len or (T + 1)
+    arrays = {name: np.zeros((num_chargers, L), dtype=np.float64) for name in _SCHEDULE_FIELDS}
+    rc = lib.ng_generate_schedule(
+        seed, num_chargers, time_interval, L,
+        int(different_capacities), int(requested_soc),
+        *[_ptr(arrays[name]) for name in _SCHEDULE_FIELDS],
+    )
+    if rc != 0:
+        raise RuntimeError(f"ng_generate_schedule failed with {rc}")
+    return arrays
+
+
+_PENALTY_MODES = {"no_penalty": 0, "on_departure": 1, "sparse": 2, "dense": 3}
+
+INFO_FIELDS = (
+    "total_cost", "grid_energy_cost", "grid_energy", "grid_power",
+    "utilized_solar_energy", "total_penalty", "total_battery_penalty",
+    "total_vehicle_penalty", "battery_action", "total_charging_power",
+    "total_discharging_power", "battery_power_value",
+    "battery_calculated_power_value", "battery_state_of_charge",
+    "initial_battery_state_of_charge",
+    "discharging_nonexistent_vehicles_penalty",
+)
+
+
+class NativeEngine:
+    """Standalone CPU environment engine (exact reference semantics)."""
+
+    def __init__(self, config, params=None):
+        """``config``: a core.NanogridConfig.  ``params``: optional
+        core.NanogridParams (for price/solar tables); when omitted the tables
+        are built numpy-only — no JAX import anywhere in the native path."""
+        lib = _load()
+        self.config = config
+        if params is None:
+            from ..core import prices as prices_mod, solar as solar_mod
+
+            price_table, _ = prices_mod.build_price_table(config.price_model, config.price_table_len)
+            if config.pv_system:
+                irr, solar_power, max_rad = solar_mod.build_solar_tables(
+                    config.time_interval, config.steps_per_day
+                )
+                rad_norm = irr / max_rad
+            else:
+                solar_power = np.zeros(config.solar_table_len)
+                rad_norm = np.zeros(config.solar_table_len)
+            price = np.ascontiguousarray(price_table, dtype=np.float64)
+            rad = np.ascontiguousarray(rad_norm, dtype=np.float64)
+            solar = np.ascontiguousarray(solar_power, dtype=np.float64)
+        else:
+            price = np.ascontiguousarray(np.asarray(params.price, dtype=np.float64))
+            rad = np.ascontiguousarray(np.asarray(params.rad_norm, dtype=np.float64))
+            solar = np.ascontiguousarray(np.asarray(params.solar_power, dtype=np.float64))
+        self._h = lib.ng_engine_new(
+            config.num_chargers, config.time_interval,
+            int(config.pv_system), int(config.battery_system),
+            int(config.vehicle_to_everything), int(config.penalty_mode),
+            _ptr(price), len(price), _ptr(rad), _ptr(solar), len(solar),
+        )
+        self._lib = lib
+        self.obs_dim = lib.ng_engine_obs_dim(self._h)
+        self.num_actions = config.num_chargers + int(config.battery_system)
+        self._obs = np.zeros(self.obs_dim, dtype=np.float64)
+        self._reward = np.zeros(1, dtype=np.float64)
+        self._info = np.zeros(16, dtype=np.float64)
+        self._powers = np.zeros(config.num_chargers, dtype=np.float64)
+
+    def reset(self, schedule: dict[str, np.ndarray], batt_soc: float = -1.0, pv_shift: float = 1.0):
+        """Reset with schedule tables (dict per generate_schedule_native or a
+        core.DaySchedule).  batt_soc < 0 keeps the carried battery state."""
+        if not isinstance(schedule, dict):
+            schedule = {name: np.asarray(getattr(schedule, name), dtype=np.float64) for name in _SCHEDULE_FIELDS}
+        tables = [np.ascontiguousarray(schedule[name], dtype=np.float64) for name in _SCHEDULE_FIELDS]
+        self._lib.ng_engine_reset(
+            self._h, *[_ptr(a) for a in tables],
+            ctypes.c_double(batt_soc), ctypes.c_double(pv_shift), _ptr(self._obs),
+        )
+        return self._obs.copy()
+
+    def step(self, actions):
+        actions = np.ascontiguousarray(np.asarray(actions, dtype=np.float64))
+        done = self._lib.ng_engine_step(
+            self._h, _ptr(actions), _ptr(self._obs), _ptr(self._reward),
+            _ptr(self._info), _ptr(self._powers),
+        )
+        info = dict(zip(INFO_FIELDS, self._info.tolist()))
+        info["charger_power_values"] = self._powers.copy()
+        return self._obs.copy(), float(self._reward[0]), bool(done), info
+
+    def __del__(self):
+        if getattr(self, "_h", None) and getattr(self, "_lib", None):
+            self._lib.ng_engine_free(self._h)
+            self._h = None

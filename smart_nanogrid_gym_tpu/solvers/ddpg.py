@@ -22,7 +22,7 @@ import optax
 
 from ..core.config import NanogridConfig
 from ..core.params import NanogridParams
-from ..core.step import reset as core_reset, step as core_step
+from ..core.transition import reset as core_reset, step as core_step
 from .networks import DDPGActor, DDPGCritic
 
 

@@ -27,7 +27,7 @@ from ..core.config import NanogridConfig
 from ..core.generate import generate_schedule
 from ..core.params import NanogridParams
 from ..core.state import StepInfo
-from ..core.step import reset as core_reset, step as core_step
+from ..core.transition import reset as core_reset, step as core_step
 
 
 def evaluate_policies_same_days(

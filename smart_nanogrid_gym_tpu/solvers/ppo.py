@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.config import NanogridConfig
 from ..core.params import NanogridParams
 from ..core.rollout import fused_day_rollout
-from ..core.step import reset as core_reset
+from ..core.transition import reset as core_reset
 from ..parallel.mesh import ENV_AXIS
 from .networks import ActorCritic
 

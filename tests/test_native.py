@@ -1,0 +1,148 @@
+"""Native C++ runtime tests.
+
+- bitwise schedule-generation parity vs the reference's numpy global-MT19937
+  stream (the strongest form of the BASELINE "exact trajectory" target: exact
+  replay from a seed alone),
+- trajectory parity of the native serving engine vs the live reference,
+- trajectory parity of the native engine vs the JAX engine.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import oracle
+from smart_nanogrid_gym_tpu.core import NanogridConfig, make_params, schedule_from_arrays, reset, step
+from smart_nanogrid_gym_tpu.native import NativeEngine, generate_schedule_native
+
+
+@pytest.mark.parametrize("seed", [0, 1, 42, 123456])
+@pytest.mark.parametrize("diff_caps,req_soc", [(True, False), (False, False), (True, True)])
+def test_native_generation_bitwise_vs_reference(seed, diff_caps, req_soc):
+    np.random.seed(seed)
+    env = oracle.make_reference_env(
+        price_model=0, number_of_chargers=6,
+        pv_system_available_in_model=False, battery_system_available_in_model=False,
+        vehicle_to_everything=False,
+        enable_different_vehicle_battery_capacities=diff_caps,
+        enable_requested_state_of_charge=req_soc,
+        time_interval="1h", charging_mode="bounded",
+        vehicle_uncharged_penalty_mode="sparse",
+    )
+    env.reset()
+    ref = oracle.reference_schedule_as_dict(env)
+
+    native = generate_schedule_native(
+        seed, 6, 1.0, different_capacities=diff_caps, requested_soc=req_soc
+    )
+
+    np.testing.assert_array_equal(native["occupancy"], ref["Charger_occupancy"], err_msg="occupancy")
+    np.testing.assert_array_equal(native["capacity"], ref["Vehicle_capacities"], err_msg="capacities")
+    np.testing.assert_array_equal(native["soc_init"], ref["SOC"], err_msg="SOC (bitwise)")
+    np.testing.assert_array_equal(native["requested_soc"], ref["Requested_SOC"], err_msg="requested SOC")
+    # arrivals/departures lists
+    T = 24
+    for c in range(6):
+        arr_native = [t for t in range(T) if native["is_arrival"][c, t] > 0]
+        assert arr_native == list(ref["Arrivals"][c]), f"arrivals charger {c}"
+        dep_native = [int(t + native["dep_obs"][c, t]) for t in arr_native]
+        assert dep_native == list(ref["Departures"][c]), f"departures charger {c}"
+
+
+def _run_native_episode(config, schedule_dict, actions, pv_shift=1.0, batt_soc=-1.0):
+    eng = NativeEngine(config)
+    obs0 = eng.reset(schedule_dict, batt_soc=batt_soc, pv_shift=pv_shift)
+    observations, rewards = [obs0], []
+    for a in actions:
+        obs, r, done, info = eng.step(a)
+        observations.append(obs)
+        rewards.append(r)
+    return observations, rewards, info
+
+
+@pytest.mark.parametrize("variant", ["basic", "b-pv", "v2x-b-pv"])
+def test_native_engine_vs_reference(variant):
+    kw = dict(
+        price_model=0, number_of_chargers=4,
+        pv_system_available_in_model=variant != "basic",
+        battery_system_available_in_model=variant != "basic",
+        vehicle_to_everything=variant == "v2x-b-pv",
+        enable_different_vehicle_battery_capacities=True,
+        enable_requested_state_of_charge=False,
+        time_interval="1h", charging_mode="bounded",
+        vehicle_uncharged_penalty_mode="sparse",
+    )
+    n_act = 4 + (0 if variant == "basic" else 1)
+    rng = np.random.RandomState(17)
+    lo = -0.05 if variant == "v2x-b-pv" else 0.0
+    actions = [rng.uniform(lo, 1.0, n_act) for _ in range(24)]
+
+    np.random.seed(5)
+    env = oracle.make_reference_env(**kw)
+    ref = oracle.run_reference_episode(env, actions, pv_shift=1.2)
+
+    config = NanogridConfig.from_reference_kwargs(**kw)
+    sa = ref["schedule"]
+    sched = {
+        "occupancy": sa["Charger_occupancy"], "capacity": sa["Vehicle_capacities"],
+        "requested_soc": sa["Requested_SOC"], "soc_init": sa["SOC"],
+    }
+    # native wants the full 8 tables; build the lookup tables via the loader
+    day = schedule_from_arrays(
+        config, soc=sa["SOC"], arrivals=sa["Arrivals"], departures=sa["Departures"],
+        occupancy=sa["Charger_occupancy"], capacities=sa["Vehicle_capacities"],
+        requested_soc=sa["Requested_SOC"],
+    )
+    observations, rewards, _ = _run_native_episode(config, day, actions, pv_shift=1.2,
+                                                   batt_soc=0.5 if variant != "basic" else -1.0)
+    np.testing.assert_allclose(
+        np.asarray(observations[0], dtype=np.float32), ref["reset_obs"], rtol=1e-6, atol=1e-7
+    )
+    for i, (o_ref, o_nat) in enumerate(zip(ref["observations"], observations[1:])):
+        np.testing.assert_allclose(
+            np.asarray(o_nat, dtype=np.float32), o_ref, rtol=1e-6, atol=1e-7,
+            err_msg=f"native obs mismatch at step {i}",
+        )
+    np.testing.assert_allclose(rewards, ref["rewards"], rtol=1e-9, atol=1e-9)
+
+
+def test_native_engine_vs_jax_engine():
+    """Native vs JAX engine on a natively generated day — full f64 agreement."""
+    config = NanogridConfig(num_chargers=8, pv_system=True, battery_system=True)
+    params = make_params(config, dtype=jnp.float64)
+    tables = generate_schedule_native(777, 8, 1.0)
+    day = schedule_from_arrays(
+        config,
+        soc=tables["soc_init"],
+        arrivals=[[t for t in range(24) if tables["is_arrival"][c, t]] for c in range(8)],
+        departures=[[int(t + tables["dep_obs"][c, t]) for t in range(24) if tables["is_arrival"][c, t]] for c in range(8)],
+        occupancy=tables["occupancy"],
+        capacities=tables["capacity"],
+        requested_soc=tables["requested_soc"],
+    )
+    state, obs0 = reset(config, params, jax.random.PRNGKey(0), schedule=day)
+    state = state._replace(pv_shift=jnp.asarray(0.9, jnp.float64))
+
+    rng = np.random.RandomState(3)
+    actions = [np.concatenate([rng.uniform(0, 1, 8), rng.uniform(-1, 1, 1)]) for _ in range(24)]
+
+    eng = NativeEngine(config)
+    obs_n = eng.reset(tables, batt_soc=0.5, pv_shift=0.9)
+    np.testing.assert_allclose(obs_n, np.asarray(obs0, dtype=np.float64), rtol=1e-6, atol=1e-7)
+
+    for i, a in enumerate(actions):
+        res = step(config, params, state, jnp.asarray(a))
+        state = res.state
+        obs_nat, r_nat, done_nat, info_nat = eng.step(a)
+        np.testing.assert_allclose(r_nat, float(res.reward), rtol=1e-12, atol=1e-12,
+                                   err_msg=f"reward mismatch at {i}")
+        np.testing.assert_allclose(
+            obs_nat, np.asarray(res.obs, dtype=np.float64), rtol=1e-6, atol=1e-7,
+            err_msg=f"obs mismatch at {i}",
+        )
+        np.testing.assert_allclose(
+            info_nat["charger_power_values"], np.asarray(res.info.charger_power_values),
+            rtol=1e-12, atol=1e-12,
+        )
+        assert done_nat == bool(res.done)

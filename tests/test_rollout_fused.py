@@ -9,7 +9,7 @@ import pytest
 
 from smart_nanogrid_gym_tpu.core import NanogridConfig, make_params
 from smart_nanogrid_gym_tpu.core.rollout import fused_day_rollout
-from smart_nanogrid_gym_tpu.core.step import reset as core_reset, step as core_step
+from smart_nanogrid_gym_tpu.core.transition import reset as core_reset, step as core_step
 from smart_nanogrid_gym_tpu.solvers.rbc import make_rbc_policy_fn
 
 
