@@ -1,0 +1,78 @@
+"""Evaluation CLI — the TPU-native counterpart of solvers/evaluator.py.
+
+The reference loads every trained model, replays 100 *identical* days across
+all of them via initial_values.json round-trips, and plots per-episode rewards
+(solvers/evaluator.py:88-127).  Here the paired same-day comparison runs fully
+on device (days are the batch axis) and always includes the RBC baseline and an
+idle policy; trained checkpoints are restored from --models-dir.
+
+Run:  python -m smart_nanogrid_gym_tpu.tools.evaluate --variant b-pv --days 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import make_params
+from ..solvers.evaluator import evaluate_policies_same_days
+from ..solvers.ppo import PPOLearner
+from ..solvers.rbc import make_rbc_policy_fn
+from ..utils.checkpoint import latest_step, restore_checkpoint
+from .train_ppo import VARIANTS, build_config
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--variant", choices=sorted(VARIANTS), default="b-pv")
+    p.add_argument("--num-chargers", type=int, default=4)
+    p.add_argument("--time-interval", type=float, default=1.0)
+    p.add_argument("--price-model", type=int, default=0)
+    p.add_argument("--penalty-mode", default="sparse",
+                   choices=["no_penalty", "on_departure", "sparse", "dense"])
+    p.add_argument("--days", type=int, default=100, help="reference: 100 episodes")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--models-dir", default=None,
+                   help="PPO checkpoint dir to evaluate (optional)")
+    p.add_argument("--checkpoint-step", type=int, default=None)
+    args = p.parse_args(argv)
+
+    config = build_config(args)
+    params = make_params(config, dtype=jnp.float32)
+    rbc = make_rbc_policy_fn(config)
+
+    policies = {
+        "RBC": lambda obs, key: rbc(obs),
+        "idle": lambda obs, key: jnp.zeros(obs.shape[:-1] + (config.num_actions,), obs.dtype),
+    }
+
+    if args.models_dir:
+        learner = PPOLearner(config)
+        init_state = learner.init(jax.random.PRNGKey(0), params, batch_size=1)
+        step = args.checkpoint_step or latest_step(args.models_dir)
+        net_params = restore_checkpoint(args.models_dir, step, init_state.params)
+        policies[f"PPO@{step}"] = learner.policy_fn(net_params)
+
+    results = evaluate_policies_same_days(
+        config, params, policies, num_days=args.days, seed=args.seed
+    )
+    report = {
+        name: {
+            "mean_day_return": float(np.mean(r)),
+            "std": float(np.std(r)),
+            "min": float(np.min(r)),
+            "max": float(np.max(r)),
+        }
+        for name, r in results.items()
+    }
+    print(json.dumps(report, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    main()

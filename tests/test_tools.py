@@ -1,0 +1,112 @@
+"""CLI tools, checkpointing, registration, and profiling tests."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from smart_nanogrid_gym_tpu.core import NanogridConfig, make_params
+from smart_nanogrid_gym_tpu.solvers.ppo import PPOConfig, PPOLearner
+from smart_nanogrid_gym_tpu.utils import (
+    PhaseTimer,
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_checkpoint_round_trip(tmp_path):
+    cfg = NanogridConfig(num_chargers=4, pv_system=False, battery_system=False)
+    learner = PPOLearner(cfg, PPOConfig(num_epochs=1, num_minibatches=1))
+    params = make_params(cfg, dtype=jnp.float32)
+    state = learner.init(jax.random.PRNGKey(0), params, batch_size=8)
+
+    d = str(tmp_path / "ckpts")
+    save_checkpoint(d, 100, state.params, env_config=cfg)
+    save_checkpoint(d, 200, state.params, env_config=cfg)
+    assert latest_step(d) == 200
+
+    restored = restore_checkpoint(d, 200, state.params)
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with open(os.path.join(d, "config.json")) as fp:
+        meta = json.load(fp)
+    assert meta["num_chargers"] == 4
+
+
+def test_train_ppo_cli_smoke(tmp_path):
+    from smart_nanogrid_gym_tpu.tools.train_ppo import main
+
+    state = main([
+        "--variant", "basic", "--num-chargers", "4", "--batch", "16",
+        "--epochs", "1", "--episodes-per-epoch", "16",
+        "--models-dir", str(tmp_path / "models"), "--seed", "1",
+    ])
+    run_dirs = os.listdir(tmp_path / "models")
+    assert len(run_dirs) == 1 and run_dirs[0].startswith("PPO-basic-bounded-sparse-4ch")
+    assert latest_step(tmp_path / "models" / run_dirs[0]) is not None
+
+
+def test_train_ddpg_cli_smoke(tmp_path):
+    from smart_nanogrid_gym_tpu.tools.train_ddpg import main
+
+    main([
+        "--variant", "basic", "--num-chargers", "4", "--batch", "8",
+        "--epochs", "1", "--episodes-per-epoch", "8",
+        "--models-dir", str(tmp_path / "models"), "--seed", "1",
+    ])
+    run_dirs = os.listdir(tmp_path / "models")
+    assert run_dirs[0].startswith("DDPG-basic")
+
+
+def test_evaluate_cli_smoke(capsys):
+    from smart_nanogrid_gym_tpu.tools.evaluate import main
+
+    results = main(["--variant", "basic", "--num-chargers", "4", "--days", "8"])
+    assert set(results) == {"RBC", "idle"}
+    out = json.loads(capsys.readouterr().out)
+    assert "RBC" in out and np.isfinite(out["RBC"]["mean_day_return"])
+
+
+def test_predict_cli_smoke(tmp_path):
+    from smart_nanogrid_gym_tpu.tools.predict import main
+
+    ret = main(["--variant", "b-pv", "--num-chargers", "4",
+                "--out", str(tmp_path / "out"), "--seed", "3"])
+    assert np.isfinite(ret)
+    files = []
+    for root, _, names in os.walk(tmp_path / "out"):
+        files += names
+    assert any("prediction_results.json" in f for f in files)
+
+
+def test_gymnasium_registration():
+    gymnasium = pytest.importorskip("gymnasium")
+    import smart_nanogrid_gym_tpu.envs  # noqa: F401  (side effect: register)
+
+    env = gymnasium.make(
+        "SmartNanogridEnv-v0",
+        number_of_chargers=4,
+        pv_system_available_in_model=False,
+        battery_system_available_in_model=False,
+        time_interval="1h",
+        vehicle_uncharged_penalty_mode="dense",
+        output_directory=None,
+    )
+    obs, _ = env.reset()
+    assert obs.shape == (12,)
+    obs, reward, done, trunc, info = env.step(np.zeros(4, dtype=np.float32))
+    assert np.isfinite(reward)
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("a"):
+        _ = sum(range(1000))
+    with t.phase("a"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2 and s["a"]["total_s"] > 0
