@@ -177,7 +177,14 @@ class SmartNanogridEnv(_GYM_BASE):
         return np.asarray(obs), {}
 
     def step(self, actions):
-        actions = jnp.asarray(np.asarray(actions, dtype=np.float64))
+        actions = np.asarray(actions, dtype=np.float64)
+        if actions.shape != (self.config.num_actions,):
+            # The reference silently slices oversized vectors
+            # (central_management_system.py:85-89); be explicit at the API edge.
+            raise ValueError(
+                f"expected {self.config.num_actions} actions, got shape {actions.shape}"
+            )
+        actions = jnp.asarray(actions)
         res = self._jit_step(self.params, self._state, actions)
         self._state = res.state
         self._batt_soc_carry = res.state.batt_soc

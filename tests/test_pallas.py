@@ -34,7 +34,6 @@ def test_pallas_kernel_matches_fused(config):
     _, (_, rew_fused, _) = fused_day_rollout(
         config, bparams, states, lambda ob, k: rbc(ob), jax.random.PRNGKey(1)
     )
-    final_fused_soc = None
 
     rew_pallas, soc_final = pallas_rbc_day_rollout(config, bparams, states, interpret=True)
 
