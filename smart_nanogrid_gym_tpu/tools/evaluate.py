@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--models-dir", default=None,
                    help="PPO checkpoint dir to evaluate (optional)")
+    p.add_argument("--models-root", default=None,
+                   help="scan every run dir under this root (reference "
+                        "evaluator style, solvers/evaluator.py:44-77)")
     p.add_argument("--checkpoint-step", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -51,12 +54,26 @@ def main(argv=None):
         "idle": lambda obs, key: jnp.zeros(obs.shape[:-1] + (config.num_actions,), obs.dtype),
     }
 
+    model_dirs = []
     if args.models_dir:
+        model_dirs.append(args.models_dir)
+    if args.models_root and os.path.isdir(args.models_root):
+        for name in sorted(os.listdir(args.models_root)):
+            path = os.path.join(args.models_root, name)
+            if os.path.isdir(path) and latest_step(path) is not None:
+                model_dirs.append(path)
+
+    if model_dirs:
         learner = PPOLearner(config)
         init_state = learner.init(jax.random.PRNGKey(0), params, batch_size=1)
-        step = args.checkpoint_step or latest_step(args.models_dir)
-        net_params = restore_checkpoint(args.models_dir, step, init_state.params)
-        policies[f"PPO@{step}"] = learner.policy_fn(net_params)
+        for d in model_dirs:
+            step = args.checkpoint_step or latest_step(d)
+            try:
+                net_params = restore_checkpoint(d, step, init_state.params)
+            except Exception as exc:  # incompatible run dir (other algo/config)
+                print(f"# skipping {d}: {exc}", flush=True)
+                continue
+            policies[f"{os.path.basename(d)}@{step}"] = learner.policy_fn(net_params)
 
     results = evaluate_policies_same_days(
         config, params, policies, num_days=args.days, seed=args.seed

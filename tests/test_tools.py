@@ -102,6 +102,33 @@ def test_gymnasium_registration():
     assert np.isfinite(reward)
 
 
+def test_visualize_cli(tmp_path):
+    from smart_nanogrid_gym_tpu.tools.predict import main as predict_main
+    from smart_nanogrid_gym_tpu.tools.visualize import main as viz_main
+
+    predict_main(["--variant", "b-pv", "--num-chargers", "4",
+                  "--out", str(tmp_path / "out"), "--seed", "2"])
+    results = None
+    for root, _, files in os.walk(tmp_path / "out"):
+        for f in files:
+            if f == "prediction_results.json":
+                results = os.path.join(root, f)
+    fig = viz_main(["--results", results, "--out", str(tmp_path / "fig.png")])
+    assert os.path.exists(fig) and os.path.getsize(fig) > 10_000
+
+
+def test_evaluate_models_root_scan(tmp_path):
+    from smart_nanogrid_gym_tpu.tools.train_ppo import main as train_main
+    from smart_nanogrid_gym_tpu.tools.evaluate import main as eval_main
+
+    train_main(["--variant", "basic", "--num-chargers", "4", "--batch", "8",
+                "--epochs", "1", "--episodes-per-epoch", "8",
+                "--models-dir", str(tmp_path / "models"), "--seed", "2"])
+    results = eval_main(["--variant", "basic", "--num-chargers", "4", "--days", "8",
+                         "--models-root", str(tmp_path / "models")])
+    assert any(name.startswith("PPO-basic") for name in results), results.keys()
+
+
 def test_phase_timer():
     t = PhaseTimer()
     with t.phase("a"):
