@@ -137,3 +137,22 @@ def test_phase_timer():
         pass
     s = t.summary()
     assert s["a"]["count"] == 2 and s["a"]["total_s"] > 0
+def test_vector_env_api():
+    import numpy as np
+    from smart_nanogrid_gym_tpu.compat.vector_env import VectorSmartNanogridEnv
+
+    env = VectorSmartNanogridEnv(
+        num_envs=32, seed=0, number_of_chargers=4,
+        pv_system_available_in_model=True, battery_system_available_in_model=True,
+        time_interval="1h", vehicle_uncharged_penalty_mode="sparse",
+    )
+    obs, _ = env.reset()
+    assert obs.shape == (32, 17)
+    for t in range(24):
+        actions = np.tile(np.asarray([0.5, 0.5, 0.5, 0.5, 0.1], np.float32), (32, 1))
+        obs, rew, term, trunc, infos = env.step(actions)
+        assert obs.shape == (32, 17) and rew.shape == (32,)
+    assert term.all() and "final_observation" in infos
+    # autoreset happened: next step runs on a fresh day
+    obs2, rew2, term2, _, _ = env.step(actions)
+    assert not term2.any()
