@@ -65,9 +65,11 @@ class DDPGTrainState(NamedTuple):
 
 
 class DDPGLearner:
-    def __init__(self, env_config: NanogridConfig, ddpg_config: DDPGConfig | None = None, dtype=jnp.float32):
+    def __init__(self, env_config: NanogridConfig, ddpg_config: DDPGConfig | None = None,
+                 mesh=None, dtype=jnp.float32):
         self.env_config = env_config
         self.cfg = ddpg_config or DDPGConfig()
+        self.mesh = mesh
         self.dtype = dtype
         low, high = env_config.action_bounds()
         self.actor = DDPGActor(env_config.num_actions, tuple(low.tolist()), tuple(high.tolist()))
@@ -169,6 +171,12 @@ class DDPGLearner:
 
     def _train_body(self, state: DDPGTrainState, env_params):
         key, k_collect, k_grad = jax.random.split(state.key, 3)
+        if self.mesh is not None:
+            # decorrelate exploration and sampling across shards; state.key
+            # itself stays replicated
+            shard = jax.lax.axis_index("envs")
+            k_collect = jax.random.fold_in(k_collect, shard)
+            k_grad = jax.random.fold_in(k_grad, shard)
         env_states, obs, ou, buffer, rewards = self._collect(state, env_params, k_collect)
         gamma = self.cfg.gamma
         tau = self.cfg.tau
@@ -187,6 +195,8 @@ class DDPGLearner:
                 return ((q - target_q) ** 2).mean()
 
             c_loss, c_grads = jax.value_and_grad(critic_loss)(critic_params)
+            if self.mesh is not None:
+                c_grads = jax.lax.pmean(c_grads, "envs")
             c_updates, c_opt = self.critic_tx.update(c_grads, c_opt, critic_params)
             critic_params = optax.apply_updates(critic_params, c_updates)
 
@@ -195,6 +205,8 @@ class DDPGLearner:
                 return -self.critic.apply(critic_params, b_obs, a).mean()
 
             a_loss, a_grads = jax.value_and_grad(actor_loss)(actor_params)
+            if self.mesh is not None:
+                a_grads = jax.lax.pmean(a_grads, "envs")
             a_updates, a_opt = self.actor_tx.update(a_grads, a_opt, actor_params)
             actor_params = optax.apply_updates(actor_params, a_updates)
 
@@ -221,11 +233,39 @@ class DDPGLearner:
             "actor_loss": a_losses.mean(),
             "mean_return": rewards.sum(axis=0).mean(),
         }
+        if self.mesh is not None:
+            metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "envs"), metrics)
         return new_state, metrics
 
     def build_train_step(self):
         if self._train_step is None:
-            self._train_step = jax.jit(self._train_body)
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                spec_env = P("envs")        # leading env axis
+                spec_buf = P(None, "envs")  # replay buffer: (capacity, B, ...)
+                state_specs = DDPGTrainState(
+                    actor_params=P(), critic_params=P(),
+                    target_actor_params=P(), target_critic_params=P(),
+                    actor_opt=P(), critic_opt=P(),
+                    buffer=ReplayBuffer(
+                        obs=spec_buf, actions=spec_buf, rewards=spec_buf,
+                        next_obs=spec_buf, dones=spec_buf,
+                        insert_pos=P(), filled=P(),
+                    ),
+                    env_states=spec_env, last_obs=spec_env, ou_state=spec_env,
+                    key=P(), update_step=P(),
+                )
+                body = jax.shard_map(
+                    self._train_body,
+                    mesh=self.mesh,
+                    in_specs=(state_specs, spec_env),
+                    out_specs=(state_specs, P()),
+                    check_vma=False,
+                )
+                self._train_step = jax.jit(body)
+            else:
+                self._train_step = jax.jit(self._train_body)
         return self._train_step
 
     def train(self, state, num_updates, log_every=0):

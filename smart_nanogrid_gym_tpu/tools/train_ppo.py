@@ -64,6 +64,10 @@ def main(argv=None):
     p.add_argument("--models-dir", default="models")
     p.add_argument("--mesh", action="store_true", help="shard envs over all devices")
     p.add_argument("--log-every", type=int, default=1)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the newest full-state checkpoint in models-dir")
+    p.add_argument("--guard", action="store_true",
+                   help="wrap training in a NaN guard with auto-rollback")
     args = p.parse_args(argv)
 
     config = build_config(args)
@@ -79,17 +83,47 @@ def main(argv=None):
         f"{config.num_chargers}ch-{args.time_interval}h"
     )
     models_dir = os.path.join(args.models_dir, run_name)
+    full_state_dir = os.path.join(models_dir, "full")
     updates_per_epoch = max(1, math.ceil(args.episodes_per_epoch / args.batch))
     steps_per_update = args.batch * config.steps_per_day
 
+    start_epoch = 0
+    if args.resume:
+        from ..utils.checkpoint import latest_step as _latest, restore_checkpoint as _restore
+
+        step = _latest(full_state_dir)
+        if step is not None:
+            state = _restore(full_state_dir, step, state)
+            start_epoch = int(step)
+            print(f"resumed from epoch {start_epoch}", flush=True)
+
     print(f"training {run_name}: {args.epochs} epochs x {updates_per_epoch} updates "
           f"x {steps_per_update} env-steps", flush=True)
+    if args.guard:
+        from ..utils.guard import TrainGuard
+
+        guard = TrainGuard(
+            lambda s: train_step(s, learner.nanogrid_params_batched),
+            ckpt_dir=os.path.join(models_dir, "guard"),
+            save_every=updates_per_epoch,
+        )
+
     start = time.time()
     total_steps = 0
-    for epoch in range(args.epochs):
-        for _ in range(updates_per_epoch):
-            state, metrics = train_step(state, learner.nanogrid_params_batched)
-            total_steps += steps_per_update
+    for epoch in range(start_epoch, args.epochs):
+        if args.guard:
+            metrics = None
+
+            def _capture(i, m):
+                nonlocal metrics
+                metrics = m
+
+            state = guard.run(state, updates_per_epoch, on_metrics=_capture)
+            total_steps += steps_per_update * updates_per_epoch
+        else:
+            for _ in range(updates_per_epoch):
+                state, metrics = train_step(state, learner.nanogrid_params_batched)
+                total_steps += steps_per_update
         if epoch % args.log_every == 0 or epoch == args.epochs - 1:
             m = jax.tree.map(float, metrics)
             elapsed = time.time() - start
@@ -104,6 +138,7 @@ def main(argv=None):
             }), flush=True)
         save_checkpoint(models_dir, steps_per_update * updates_per_epoch * (epoch + 1),
                         state.params, env_config=config)
+        save_checkpoint(full_state_dir, epoch + 1, state)
 
     elapsed = time.time() - start
     print(f"Training lasted: {elapsed/3600:.0f} h and {elapsed%3600/60:.1f} min "
