@@ -50,6 +50,30 @@ def test_native_generation_bitwise_vs_reference(seed, diff_caps, req_soc):
         assert dep_native == list(ref["Departures"][c]), f"departures charger {c}"
 
 
+def test_native_generation_bitwise_2h_interval():
+    """The generator's interval-scaled departure windows must match the
+    reference stream at 2h as well (the other working interval)."""
+    seed = 3
+    np.random.seed(seed)
+    env = oracle.make_reference_env(
+        price_model=0, number_of_chargers=4,
+        pv_system_available_in_model=False, battery_system_available_in_model=False,
+        vehicle_to_everything=False,
+        enable_different_vehicle_battery_capacities=True,
+        enable_requested_state_of_charge=False,
+        time_interval="2h", charging_mode="bounded",
+        vehicle_uncharged_penalty_mode="sparse",
+    )
+    env.reset()
+    ref = oracle.reference_schedule_as_dict(env)
+    native = generate_schedule_native(seed, 4, 2.0, table_len=25)
+    # reference arrays are zeros(25) regardless of interval; compare the live
+    # 12-step region
+    np.testing.assert_array_equal(native["occupancy"][:, :12], ref["Charger_occupancy"][:, :12])
+    np.testing.assert_array_equal(native["soc_init"][:, :12], ref["SOC"][:, :12])
+    np.testing.assert_array_equal(native["capacity"][:, :12], ref["Vehicle_capacities"][:, :12])
+
+
 def _run_native_episode(config, schedule_dict, actions, pv_shift=1.0, batt_soc=-1.0):
     eng = NativeEngine(config)
     obs0 = eng.reset(schedule_dict, batt_soc=batt_soc, pv_shift=pv_shift)
