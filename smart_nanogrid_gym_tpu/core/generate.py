@@ -209,6 +209,37 @@ def schedule_from_arrays(
     )
 
 
+def schedule_from_reference_seed(
+    seed: int, config: NanogridConfig, dtype=np.float64
+) -> DaySchedule:
+    """Day schedule **bit-identical** to what the reference generates under
+    ``np.random.seed(seed)`` (charging_station.py:152-186), via the native C++
+    MT19937 generator (smart_nanogrid_gym_tpu.native).  Combined with
+    :func:`..core.transition.reset` this yields bitwise trajectory replication
+    from the bare seed — the BASELINE.md correctness north star."""
+    from ..native import generate_schedule_native
+
+    tables = generate_schedule_native(
+        seed,
+        config.num_chargers,
+        config.time_interval,
+        table_len=config.table_len,
+        different_capacities=config.different_battery_capacities,
+        requested_soc=config.requested_state_of_charge,
+    )
+    as_dtype = lambda name: jnp.asarray(tables[name].astype(dtype))
+    return DaySchedule(
+        occupancy=as_dtype("occupancy"),
+        capacity=as_dtype("capacity"),
+        requested_soc=as_dtype("requested_soc"),
+        soc_init=as_dtype("soc_init"),
+        is_arrival=as_dtype("is_arrival"),
+        dep_obs=as_dtype("dep_obs"),
+        mask_departing=as_dtype("mask_departing"),
+        mask_departing3=as_dtype("mask_departing3"),
+    )
+
+
 def load_initial_values_json(path: str, config: NanogridConfig, dtype=np.float64) -> DaySchedule:
     """Load a reference-format ``initial_values.json`` day
     (keys per charging_station.py:173-180)."""
