@@ -129,17 +129,8 @@ class SmartNanogridEnv(_GYM_BASE):
         obs_low = np.zeros(cfg.obs_dim, dtype=np.float32)
         obs_high = np.ones(cfg.obs_dim, dtype=np.float32)
         observation_space = gym_spaces.Box(low=obs_low, high=obs_high, dtype=np.float32)
-        n = cfg.num_chargers
-        if cfg.battery_system:
-            if cfg.vehicle_to_everything:
-                a_low = -np.ones(n + 1, dtype=np.float32)
-            else:
-                a_low = np.concatenate([np.zeros(n, dtype=np.float32), [-1.0]]).astype(np.float32)
-            a_high = np.ones(n + 1, dtype=np.float32)
-            action_space = gym_spaces.Box(low=a_low, high=a_high, shape=(n + 1,), dtype=np.float32)
-        else:
-            a_low = -1.0 if cfg.vehicle_to_everything else 0.0
-            action_space = gym_spaces.Box(low=a_low, high=1.0, shape=(n,), dtype=np.float32)
+        a_low, a_high = cfg.action_bounds()
+        action_space = gym_spaces.Box(low=a_low, high=a_high, shape=a_low.shape, dtype=np.float32)
         return observation_space, action_space
 
     # ------------------------------------------------------------------ API --

@@ -100,9 +100,10 @@ class SmartNanogridTPU:
         if not batched:
             params = jax.tree.map(lambda x: x[None], params)
             state = jax.tree.map(lambda x: x[None], state)
+            obs = obs[None]
         final_state, (obs_traj, rewards, dones, infos) = fused_day_rollout(
             cfg, params, state, policy_fn, key if key is not None else jax.random.PRNGKey(0),
-            collect_info=True,
+            collect_info=True, obs0=obs,
         )
         if not batched:
             final_state = jax.tree.map(lambda x: x[0], final_state)

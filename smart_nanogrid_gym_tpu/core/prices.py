@@ -63,10 +63,17 @@ def build_price_table(price_model: int, table_len: int = 48) -> tuple[np.ndarray
     """
     day = price_day(price_model)
     if table_len == 48:
+        # 1h and 2h reference configs: the hourly day duplicated, indexed by
+        # *timestep* exactly as the reference does — bug-for-bug at 2h
+        # (accountant.py:49,100; SURVEY.md Q3)
         table = np.concatenate([day, day])
     else:
+        # general intervals (impossible in the reference): timestep t maps to
+        # wall-clock hour floor(t·Δt), correct for any Δt incl. non-divisors
         steps_per_day = table_len // 2
-        per_step = np.repeat(day, steps_per_day // 24)
+        interval = 24.0 / steps_per_day
+        hour_idx = np.floor(np.arange(steps_per_day) * interval).astype(int) % 24
+        per_step = day[hour_idx]
         table = np.concatenate([per_step, per_step])
     price_max = float(table.max(where=(table >= 0), initial=0))
     return table, price_max

@@ -29,9 +29,10 @@ import jax
 import jax.numpy as jnp
 
 from . import physics
-from .config import NanogridConfig, PenaltyMode
+from .config import NanogridConfig
 from .params import NanogridParams
 from .state import EnvState, StepInfo
+from .transition import _penalty_mask_table
 
 
 class DayTables(NamedTuple):
@@ -40,26 +41,22 @@ class DayTables(NamedTuple):
     occupancy: jnp.ndarray       # (T, B, N)
     capacity_eff: jnp.ndarray    # (T, B, N) capacity read at t (arrival) or t-1
     requested_prev: jnp.ndarray  # (T, B, N) requested SoC at (t-1) mod L
-    soc_init: jnp.ndarray        # (T, B, N) generation-time SoC column t
+    soc_cols: jnp.ndarray        # (T, B, N) *current history* SoC column t — on a
+    #                              fresh day these equal the generation values; on
+    #                              a continued day (no reset, Q8) they hold the
+    #                              previous day's written values, as the reference
+    #                              reads them (charger.py:42-45,62-67)
     is_arrival: jnp.ndarray      # (T, B, N)
     dep_obs: jnp.ndarray         # (T, B, N)
-    penalty_mask: jnp.ndarray    # (T, B, N) mask at index max(t-1, 0) (the lag)
+    penalty_mask: jnp.ndarray    # (T, B, N) mask at the *current* index t (the
+    #                              trailing-observe update; consumption is lagged
+    #                              via the scan carry seeded from state.pmask)
     price: jnp.ndarray           # (T, B)
     price_norm: jnp.ndarray      # (T, B)
     price_pred: jnp.ndarray      # (T, B, k)
     rad_norm: jnp.ndarray        # (T, B)
     rad_pred: jnp.ndarray        # (T, B, k)
     solar_power: jnp.ndarray     # (T, B)
-
-
-def _penalty_table(config: NanogridConfig, schedule) -> jnp.ndarray:
-    if config.penalty_mode == PenaltyMode.NO_PENALTY:
-        return jnp.zeros_like(schedule.occupancy)
-    if config.penalty_mode == PenaltyMode.ON_DEPARTURE:
-        return schedule.mask_departing
-    if config.penalty_mode == PenaltyMode.SPARSE:
-        return schedule.mask_departing3
-    return schedule.occupancy
 
 
 def build_day_tables(config: NanogridConfig, params: NanogridParams, state: EnvState) -> DayTables:
@@ -80,9 +77,9 @@ def build_day_tables(config: NanogridConfig, params: NanogridParams, state: EnvS
 
     req_prev = jnp.roll(sched.requested_soc, 1, axis=-1)
 
-    # penalty mask with the one-step lag: index max(t-1, 0)
-    pmask = _penalty_table(config, sched)[..., :T]
-    pmask_lagged = jnp.concatenate([pmask[..., :1], pmask[..., :-1]], axis=-1)
+    # penalty mask table at the current index; the one-step-lagged consumption
+    # comes from carrying state.pmask through the scan
+    pmask = _penalty_mask_table(config, sched)[..., :T]
 
     # lookahead windows (static slices, stacked once)
     def windows(vec):  # (B, P) -> (T, B, k)
@@ -97,10 +94,10 @@ def build_day_tables(config: NanogridConfig, params: NanogridParams, state: EnvS
         occupancy=tm(sched.occupancy),
         capacity_eff=tm(cap_eff),
         requested_prev=tm(req_prev),
-        soc_init=tm(sched.soc_init),
+        soc_cols=tm(state.soc),
         is_arrival=tm(sched.is_arrival),
         dep_obs=tm(sched.dep_obs),
-        penalty_mask=tm(pmask_lagged),
+        penalty_mask=jnp.moveaxis(pmask, -1, 0),
         price=price_t,
         price_norm=price_norm_t,
         price_pred=windows(params.price_norm),
@@ -138,6 +135,7 @@ def fused_day_rollout(
     key: jnp.ndarray,
     collect_info: bool = False,
     policy_aux: bool = False,
+    obs0: jnp.ndarray | None = None,
 ):
     """Roll exactly one day over a batched state (leaves (B, ...)); state.t must
     be 0 (day start).  Returns ``(next_state, (obs, reward, done[, info][, aux]))``
@@ -164,10 +162,13 @@ def fused_day_rollout(
     # initial previously-written column: (t-1)%L at t=0 is the pad column L-1
     prev_col = state.soc[..., config.table_len - 1]
     batt_init = state.batt_soc  # set at t==0 (central_management_system.py:93-94)
-    obs0 = _obs_from_state(config, params, state, tables)
+    if obs0 is None:
+        # fresh day from reset(): the reset observation; for continuation runs
+        # (Q8 rollover) callers must pass the previous day's trailing obs
+        obs0 = _obs_from_state(config, params, state, tables)
 
     def body(carry, xs_and_key):
-        prev_col, batt_soc, obs = carry
+        prev_col, batt_soc, pmask, obs = carry
         xs, key_t, t_idx = xs_and_key
 
         if policy_aux:
@@ -180,7 +181,7 @@ def fused_day_rollout(
         battery_action = actions[..., -1] if config.battery_system else jnp.zeros(actions.shape[:-1], dtype)
 
         occupied = xs.occupancy > 0
-        soc_eff = jnp.where(xs.is_arrival > 0, xs.soc_init, prev_col)
+        soc_eff = jnp.where(xs.is_arrival > 0, xs.soc_cols, prev_col)
 
         ch = physics.charger_step(
             charger_actions,
@@ -193,13 +194,13 @@ def fused_day_rollout(
             _bcol(params.nonexistent_marker),
             dt,
         )
-        new_col = jnp.where(occupied & (params.charger_mask > 0), ch.soc_new, xs.soc_init)
+        new_col = jnp.where(occupied & (params.charger_mask > 0), ch.soc_new, xs.soc_cols)
 
         total_charging = jnp.sum(jnp.where(ch.power > 0, ch.power, 0.0), axis=-1)
         total_discharging = jnp.sum(jnp.where(ch.power < 0, ch.power, 0.0), axis=-1)
 
         vehicle_penalty = physics.vehicle_insufficiency_penalty(
-            xs.penalty_mask, prev_col, xs.requested_prev,
+            pmask, prev_col, xs.requested_prev,
             _bcol(params.soc_margin_ratio), _bcol(params.penalty_gain),
         )
         nonexistent_penalty = jnp.sum(ch.nonexistent, axis=-1)
@@ -260,13 +261,14 @@ def fused_day_rollout(
             out = (obs_next, reward, done, new_col)
         if policy_aux:
             out = out + (aux,)
-        return (new_col, batt_soc, obs_next), out
+        # trailing observe recomputes the penalty set at the (old) current t
+        return (new_col, batt_soc, xs.penalty_mask, obs_next), out
 
     state_pv_shift = state.pv_shift
     t_indices = jnp.arange(T)
-    carry0 = (prev_col, state.batt_soc, obs0)
+    carry0 = (prev_col, state.batt_soc, state.pmask, obs0)
     carry, outs = jax.lax.scan(body, carry0, (tables, step_keys, t_indices))
-    last_col, batt_soc_final, obs_final = carry
+    last_col, batt_soc_final, pmask_final, obs_final = carry
 
     aux_traj = None
     if collect_info and policy_aux:
@@ -285,11 +287,17 @@ def fused_day_rollout(
         [jnp.moveaxis(cols, 0, -1), state.soc[..., T:]], axis=-1
     )
 
-    # day end: t -> 0, redraw PV shift, keep schedule/battery (SURVEY.md Q8)
+    # day end: t -> 0, redraw PV shift, keep schedule/battery (SURVEY.md Q8).
+    # The key advances exactly as T sequential step() calls would (one split
+    # per step), so chained fused days bit-match sequential stepping.
     def redraw(k):
-        k2, sub = jax.random.split(k)
-        shift = jax.random.randint(sub, (), 0, 181).astype(dtype) / 100.0
-        return k2, shift
+        def split_once(k, _):
+            k2, sub = jax.random.split(k)
+            return k2, sub
+
+        k_final, subs = jax.lax.scan(split_once, k, None, length=T)
+        shift = jax.random.randint(subs[-1], (), 0, 181).astype(dtype) / 100.0
+        return k_final, shift
 
     new_keys, new_shifts = jax.vmap(redraw)(state.key)
     next_state = state._replace(
@@ -297,6 +305,7 @@ def fused_day_rollout(
         batt_soc=batt_soc_final,
         batt_init_soc=batt_init,
         pv_shift=new_shifts,
+        pmask=pmask_final,
         key=new_keys,
         day=state.day + 1,
     )

@@ -48,6 +48,11 @@ class EnvState(NamedTuple):
     batt_soc: jnp.ndarray       # scalar BESS state of charge
     batt_init_soc: jnp.ndarray  # BESS SoC at day start (battery_energy_storage_system.py:24-25)
     pv_shift: jnp.ndarray       # random PV shift ratio (smart_nanogrid_environment.py:181,349)
+    pmask: jnp.ndarray          # (N,) penalty-check mask computed by the *trailing
+    #                             observe* of the previous step — the reference's
+    #                             ``_penalty_check_vehicles`` side effect
+    #                             (charging_station.py:42-63); consumed by the next
+    #                             step and carried across day rollovers (Q8)
     key: jnp.ndarray            # PRNG key for day-end PV-shift redraws
     day: jnp.ndarray            # i32 day counter (RNG folding for schedule regeneration)
 

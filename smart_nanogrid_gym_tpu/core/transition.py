@@ -128,6 +128,9 @@ def reset(
         batt_soc=batt_soc,
         batt_init_soc=batt_soc,
         pv_shift=pv_shift,
+        # reset's observe() runs ChargingStation.simulate at t=0, computing the
+        # penalty-check set the first step will consume (SURVEY.md §3.1).
+        pmask=_penalty_mask_table(config, schedule)[:, 0],
         key=k_next,
         day=jnp.asarray(day, jnp.int32),
     )
@@ -196,13 +199,17 @@ def step(
     total_discharging = jnp.sum(jnp.where(ch.power < 0, ch.power, 0.0))
 
     # --- vehicle penalties (penaliser.py:31-87) ---
-    # The mask comes from the previous step's trailing observe: index max(t-1, 0).
-    pmask = _col(_penalty_mask_table(config, sched), jnp.maximum(t - 1, 0))
+    # The check-set comes from the previous step's trailing observe, carried in
+    # state.pmask ([verified at runtime]; across day rollovers this correctly
+    # carries the previous day's T-1 mask, matching reference continuation).
     soc_pen = _col(soc_hist, tm1)
     req_pen = _col(sched.requested_soc, tm1)
     vehicle_penalty = physics.vehicle_insufficiency_penalty(
-        pmask, soc_pen, req_pen, params.soc_margin_ratio, params.penalty_gain
+        state.pmask, soc_pen, req_pen, params.soc_margin_ratio, params.penalty_gain
     )
+    # trailing observe at the (still old) timestep recomputes the set for the
+    # next step (charging_station.py:34-40 inside observe)
+    pmask_next = _col(_penalty_mask_table(config, sched), t)
     nonexistent_penalty = jnp.sum(ch.nonexistent)
 
     # --- PV (pv_system_manager.py:87-91, central_management_system.py:99-103) ---
@@ -263,6 +270,7 @@ def step(
     next_state = post_state._replace(
         t=jnp.where(done, 0, t_next),
         pv_shift=jnp.where(done, new_shift, state.pv_shift),
+        pmask=pmask_next,
         key=key,
         day=state.day + done.astype(jnp.int32),
     )

@@ -235,6 +235,10 @@ struct NgEngine {
          grid_w = 0.75, sell_coeff = 0.8, marker = 100.0;
   // day state
   std::vector<double> occ, cap, req, soc, is_arr, dep_obs, m1, m3;
+  // penalty-check set computed by the previous step's trailing observe
+  // (reference _penalty_check_vehicles side effect; carried across day
+  // rollovers per SURVEY.md Q8 continuation semantics)
+  std::vector<double> pmask;
   double batt_soc = 0.5, batt_init = 0.5, pv_shift = 1.0;
   int t = 0;
   // scratch for penalty-mask lag (mask evaluated at max(t-1, 0))
@@ -275,6 +279,7 @@ void* ng_engine_new(int n_chargers, double time_interval, int pv, int batt,
   e->occ.assign(sz, 0.0); e->cap.assign(sz, 0.0); e->req.assign(sz, 0.0);
   e->soc.assign(sz, 0.0); e->is_arr.assign(sz, 0.0); e->dep_obs.assign(sz, 0.0);
   e->m1.assign(sz, 0.0); e->m3.assign(sz, 0.0);
+  e->pmask.assign((size_t)e->n, 0.0);
   return e;
 }
 
@@ -326,6 +331,12 @@ void ng_engine_reset(void* h, const double* occupancy, const double* capacity,
   e->batt_init = e->batt_soc;
   e->pv_shift = pv_shift;
   e->t = 0;
+  // reset's observe computes the penalty set at t=0 (SURVEY.md section 3.1)
+  {
+    const double* mask = e->mask_table();
+    for (int c = 0; c < e->n; ++c)
+      e->pmask[c] = mask ? mask[(size_t)c * e->L] : 0.0;
+  }
   ng_observe(e, obs_out);
 }
 
@@ -382,23 +393,22 @@ int ng_engine_step(void* h, const double* actions, double* obs_out,
     if (power < 0.0) total_discharging += power;
   }
 
-  // --- vehicle penalty with the one-step mask lag (SURVEY.md, step.py) ---
+  // --- vehicle penalty: consume the carried trailing-observe set, then
+  //     recompute it at the (still old) timestep for the next step ---
   double vehicle_penalty = 0.0;
   const double* mask = e->mask_table();
-  if (mask != nullptr) {
-    const int mask_t = (t >= 1) ? t - 1 : 0;
-    for (int c = 0; c < n; ++c) {
-      const size_t row = (size_t)c * L;
-      if (mask[row + mask_t] > 0.0) {
-        const double soc_p = e->soc[row + tm1];
-        const double req_p = e->req[row + tm1];
-        const double lower = e->margin_ratio * req_p;
-        if (soc_p < req_p - lower) {
-          const double d = (req_p - soc_p) * e->gain;
-          vehicle_penalty += d * d;
-        }
+  for (int c = 0; c < n; ++c) {
+    const size_t row = (size_t)c * L;
+    if (e->pmask[c] > 0.0) {
+      const double soc_p = e->soc[row + tm1];
+      const double req_p = e->req[row + tm1];
+      const double lower = e->margin_ratio * req_p;
+      if (soc_p < req_p - lower) {
+        const double d = (req_p - soc_p) * e->gain;
+        vehicle_penalty += d * d;
       }
     }
+    e->pmask[c] = mask ? mask[row + t] : 0.0;
   }
 
   // --- PV + energy balance (central_management_system.py:99-185) ---

@@ -46,7 +46,9 @@ def _rollout_kernel(
     # scalar tables, full (1, P)/(1, S) blocks
     price_ref, price_norm_ref, rad_norm_ref, solar_ref,
     # day tables, (T, N, BB) blocks
-    occ_ref, cap_eff_ref, req_prev_ref, soc0_ref, isarr_ref, dep_ref, pmask_ref,
+    occ_ref, cap_eff_ref, req_prev_ref, soc_cols_ref, isarr_ref, dep_ref, pmask_ref,
+    # carried state, (N, BB) blocks
+    prev_col0_ref, pmask0_ref,
     # per-env scalar rows (8, BB): 0=batt_soc 1=pv_shift
     scal_ref,
     # outputs
@@ -77,11 +79,12 @@ def _rollout_kernel(
     else:
         dod_pen = jnp.zeros_like(batt_soc)
 
-    prev_col = jnp.zeros_like(soc0_ref[0])  # (N, BB); pad column is zero
+    prev_col = prev_col0_ref[:, :]  # soc column (t-1)%L from the carried state
+    pmask = pmask0_ref[:, :]        # penalty set from the previous trailing observe
 
     for t in range(T):
         occ_t = occ_ref[t]          # (N, BB)
-        soc0_t = soc0_ref[t]
+        soc_col_t = soc_cols_ref[t]
         isarr_t = isarr_ref[t]
         cap_t = cap_eff_ref[t]
 
@@ -102,25 +105,25 @@ def _rollout_kernel(
         actions = jnp.where(dep_o == 0.0, 0.0, jnp.where(soon, 1.0, fallback))
 
         # --- charger physics, charge branch only (RBC actions >= 0) ---
-        soc_eff = jnp.where(isarr_t > 0, soc0_t, prev_col)
+        soc_eff = jnp.where(isarr_t > 0, soc_col_t, prev_col)
         safe_cap = jnp.where(cap_t > 0, cap_t, 1.0)
         p_raw = actions * (max_p * eff)
         calc = soc_eff + (p_raw * dt) / safe_cap
         active = (occ_t > 0) & (actions > 0)
         power = jnp.where(active, p_raw, 0.0)
         soc_new = jnp.where(actions > 0, jnp.minimum(calc, 1.0), soc_eff)
-        new_col = jnp.where(occ_t > 0, soc_new, soc0_t)
+        new_col = jnp.where(occ_t > 0, soc_new, soc_col_t)
 
         total_charging = jnp.sum(power, axis=0, keepdims=True)  # (1, BB)
 
-        # --- vehicle insufficiency penalty (lagged mask, (t-1) reads) ---
-        pm = pmask_ref[t]
+        # --- vehicle insufficiency penalty (carried trailing-observe mask) ---
         req_p = req_prev_ref[t]
         lower = margin * req_p
         insufficient = prev_col < req_p - lower
         diff = (req_p - prev_col) * gain
-        veh_pen = jnp.sum(jnp.where((pm > 0) & insufficient, diff * diff, 0.0),
+        veh_pen = jnp.sum(jnp.where((pmask > 0) & insufficient, diff * diff, 0.0),
                           axis=0, keepdims=True)
+        pmask = pmask_ref[t]  # trailing observe updates the set for the next step
 
         # --- grid + cost ---
         solar = (solar_ref[0, t] * pv_shift) if pv else jnp.zeros_like(pv_shift)
@@ -156,6 +159,8 @@ def pallas_rbc_day_rollout(
 
     tables = build_day_tables(config, params, state)  # leaves (T, B, N) / (T, B)
     tm = lambda x: jnp.moveaxis(x, -1, -2)  # -> (T, N, B)
+    prev_col0 = state.soc[..., config.table_len - 1].T  # (N, B)
+    pmask0 = state.pmask.T  # (N, B)
 
     price = params.price[0].reshape(1, -1)
     price_norm = params.price_norm[0].reshape(1, -1)
@@ -197,6 +202,8 @@ def pallas_rbc_day_rollout(
             pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
             day(), day(), day(), day(), day(), day(), day(),
+            pl.BlockSpec((N, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -211,8 +218,9 @@ def pallas_rbc_day_rollout(
     )(
         price, price_norm, rad_norm, solar,
         tm(tables.occupancy), tm(tables.capacity_eff), tm(tables.requested_prev),
-        tm(tables.soc_init), tm(tables.is_arrival), tm(tables.dep_obs),
+        tm(tables.soc_cols), tm(tables.is_arrival), tm(tables.dep_obs),
         tm(tables.penalty_mask),
+        prev_col0, pmask0,
         scal,
     )
     return rewards, soc_final

@@ -35,6 +35,7 @@ class DDPGConfig:
     buffer_days: int = 50          # replay capacity in days of the env batch
     ou_sigma: float = 0.5          # reference ddpg_train.py:111
     ou_theta: float = 0.15
+    ou_dt: float = 1e-2            # SB3 OrnsteinUhlenbeckActionNoise default
     steps_per_update: int = 24     # env steps collected per train call (one day)
     gradient_steps: int = 24
 
@@ -123,14 +124,30 @@ class DDPGLearner:
     # ------------------------------------------------------------------ body --
 
     def _collect(self, state: DDPGTrainState, env_params, key):
-        """Collect steps_per_update env steps with OU exploration noise."""
+        """Collect steps_per_update env steps with OU exploration noise.
+
+        Each collect starts a freshly generated day (reference: new day per
+        episode reset, battery carried — SURVEY.md Q8/§3.4).  OU noise follows
+        SB3's discretisation: x += theta*(mu-x)*dt + sigma*sqrt(dt)*N with
+        dt=1e-2 (sb3 OrnsteinUhlenbeckActionNoise defaults, used by
+        ddpg_train.py:111 with sigma=0.5)."""
+        key, k_day = jax.random.split(key)
+        reset_fn = jax.vmap(functools.partial(core_reset, self.env_config))
+        batch = state.last_obs.shape[0]
+        env_keys = jax.random.split(k_day, batch)
+        env_states0, obs0 = reset_fn(env_params, env_keys, state.env_states.batt_soc, None)
+
         step_fn = jax.vmap(functools.partial(core_step, self.env_config))
-        theta, sigma = self.cfg.ou_theta, self.cfg.ou_sigma
+        theta, sigma, ou_dt = self.cfg.ou_theta, self.cfg.ou_sigma, self.cfg.ou_dt
 
         def body(carry, key_t):
             env_states, obs, ou, buffer = carry
             action_det = self.actor.apply(state.actor_params, obs)
-            ou = ou - theta * ou + sigma * jax.random.normal(key_t, ou.shape, self.dtype)
+            ou = (
+                ou
+                - theta * ou * ou_dt
+                + sigma * jnp.sqrt(ou_dt) * jax.random.normal(key_t, ou.shape, self.dtype)
+            )
             action = jnp.clip(action_det + ou, self._action_low, self._action_high)
             res = step_fn(env_params, env_states, action)
             pos = buffer.insert_pos
@@ -152,7 +169,7 @@ class DDPGLearner:
 
         keys = jax.random.split(key, self.cfg.steps_per_update)
         (env_states, obs, ou, buffer), rewards = jax.lax.scan(
-            body, (state.env_states, state.last_obs, state.ou_state, state.buffer), keys
+            body, (env_states0, obs0.astype(self.dtype), state.ou_state, state.buffer), keys
         )
         return env_states, obs, ou, buffer, rewards
 

@@ -138,7 +138,14 @@ class PPOLearner:
 
     def _rollout(self, params, env_params, env_states, obs, key):
         """On-device rollout of ``rollout_days`` full days via the fused day
-        kernel (no per-step gathers; see core/rollout.py)."""
+        kernel (no per-step gathers; see core/rollout.py).
+
+        Every day starts with a *freshly generated* schedule — the reference
+        training loop resets at each episode end, which regenerates the day
+        (SURVEY.md Q8/§3.4) — while the BESS state of charge carries across
+        resets like the reference's persistent battery object."""
+        reset_fn = jax.vmap(functools.partial(core_reset, self.env_config))
+        batch = obs.shape[0]
 
         def policy_step(ob, key_t):
             mean, log_std, value = self.network.apply(params, ob)
@@ -150,9 +157,13 @@ class PPOLearner:
 
         pieces = []
         for d in range(self.ppo.rollout_days):
-            key, sub = jax.random.split(key)
+            key, k_day, k_steps = jax.random.split(key, 3)
+            if self.mesh is not None:
+                k_day = jax.random.fold_in(k_day, jax.lax.axis_index(ENV_AXIS))
+            env_keys = jax.random.split(k_day, batch)
+            env_states, obs = reset_fn(env_params, env_keys, env_states.batt_soc, None)
             env_states, (obs_traj, rewards, dones, aux) = fused_day_rollout(
-                self.env_config, env_params, env_states, policy_step, sub, policy_aux=True
+                self.env_config, env_params, env_states, policy_step, k_steps, policy_aux=True
             )
             ob_t, act_t, logp_t, val_t = aux
             obs = obs_traj[-1].astype(self.dtype)

@@ -64,16 +64,28 @@ def main(argv=None):
                 model_dirs.append(path)
 
     if model_dirs:
-        learner = PPOLearner(config)
-        init_state = learner.init(jax.random.PRNGKey(0), params, batch_size=1)
+        # Algorithm inferred from the run-dir name prefix, like the reference
+        # evaluator's name->algorithm mapping (solvers/evaluator.py:67-77).
+        from ..solvers.ddpg import DDPGLearner
+
+        ppo_learner = PPOLearner(config)
+        ppo_template = ppo_learner.init(jax.random.PRNGKey(0), params, batch_size=1).params
+        ddpg_learner = DDPGLearner(config)
+        ddpg_template = ddpg_learner.init(jax.random.PRNGKey(0), params, batch_size=1).actor_params
         for d in model_dirs:
-            step = args.checkpoint_step or latest_step(d)
+            name = os.path.basename(os.path.normpath(d))
+            step = args.checkpoint_step if args.checkpoint_step is not None else latest_step(d)
+            is_ddpg = name.upper().startswith("DDPG")
+            template = ddpg_template if is_ddpg else ppo_template
             try:
-                net_params = restore_checkpoint(d, step, init_state.params)
-            except Exception as exc:  # incompatible run dir (other algo/config)
+                net_params = restore_checkpoint(d, step, template)
+            except Exception as exc:  # incompatible run dir (other config)
                 print(f"# skipping {d}: {exc}", flush=True)
                 continue
-            policies[f"{os.path.basename(d)}@{step}"] = learner.policy_fn(net_params)
+            if is_ddpg:
+                policies[f"{name}@{step}"] = ddpg_learner.policy_fn(net_params)
+            else:
+                policies[f"{name}@{step}"] = ppo_learner.policy_fn(net_params)
 
     results = evaluate_policies_same_days(
         config, params, policies, num_days=args.days, seed=args.seed

@@ -58,7 +58,7 @@ def main(argv=None):
         init_state = learner.init(
             jax.random.PRNGKey(0), make_params(env.config, dtype=jnp.float32), batch_size=1
         )
-        step = args.checkpoint_step or latest_step(args.models_dir)
+        step = args.checkpoint_step if args.checkpoint_step is not None else latest_step(args.models_dir)
         net_params = restore_checkpoint(args.models_dir, step, init_state.params)
         policy = learner.policy_fn(net_params)
     else:

@@ -206,8 +206,10 @@ def run_reference_episode(env, actions_per_step, pv_shift=1.0, freeze_pv_shift=T
         observations.append(np.asarray(obs, dtype=np.float32))
         rewards.append(float(reward))
         dones.append(bool(done))
-        if done:
-            break
+        if done and freeze_pv_shift:
+            # day rollover redraws the PV shift (env.py:181); re-pin it so
+            # multi-day continuation runs stay deterministic
+            env.random_pv_shift_ratio = pv_shift
     return {
         "reset_obs": np.asarray(obs0, dtype=np.float32),
         "observations": observations,
