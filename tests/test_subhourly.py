@@ -98,6 +98,29 @@ def test_subhourly_fused_equals_sequential():
     np.testing.assert_allclose(np.asarray(rewards), np.asarray(seq_rew), rtol=1e-12, atol=1e-12)
 
 
+def test_price_table_general_intervals():
+    """Non-divisor intervals map timestep -> wall-clock hour correctly
+    (45 min => 32 steps/day; 1.5 h handled via the reference-exact 48 branch)."""
+    from smart_nanogrid_gym_tpu.core.prices import build_price_table, price_day
+
+    day = price_day(0)
+    # 45-minute interval: 32 steps/day, table 64
+    table, _ = build_price_table(0, 64)
+    assert table.shape == (64,)
+    for t in range(32):
+        hour = int(np.floor(t * 0.75)) % 24
+        assert table[t] == day[hour], (t, hour)
+    # duplicated second day
+    np.testing.assert_array_equal(table[:32], table[32:])
+    # 15-minute interval: each hour repeated 4x
+    table15, _ = build_price_table(0, 192)
+    for t in range(96):
+        assert table15[t] == day[t // 4]
+    # 1h/2h keep the reference's exact duplicated-hourly table
+    table1h, _ = build_price_table(0, 48)
+    np.testing.assert_array_equal(table1h, np.concatenate([day, day]))
+
+
 def test_soc_dynamics_scale_with_interval():
     """Charging at a fixed action for 1h must equal 4x 15min steps in SoC."""
     results = {}
