@@ -147,6 +147,8 @@ class SmartNanogridEnv(_GYM_BASE):
     ):
         if seed is not None:
             self._key = jax.random.PRNGKey(seed)
+            if gymnasium is not None:
+                super().reset(seed=seed)  # seeds gymnasium's np_random bookkeeping
         self.algorithm_used = algorithm_used or self.algorithm_used
         self.environment_mode = environment_mode or self.environment_mode
 

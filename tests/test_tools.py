@@ -156,3 +156,35 @@ def test_vector_env_api():
     # autoreset happened: next step runs on a fresh day
     obs2, rew2, term2, _, _ = env.step(actions)
     assert not term2.any()
+
+
+def test_gymnasium_check_env():
+    """The modern equivalent of the reference's only automated check —
+    SB3's check_env(env) in ddpg_train.py:107 — is gymnasium's env_checker."""
+    gymnasium = pytest.importorskip("gymnasium")
+    from gymnasium.utils.env_checker import check_env
+
+    from smart_nanogrid_gym_tpu.compat.gym_adapter import SmartNanogridEnv
+
+    env = SmartNanogridEnv(
+        number_of_chargers=4,
+        pv_system_available_in_model=False,
+        battery_system_available_in_model=False,
+        time_interval="1h",
+        vehicle_uncharged_penalty_mode="dense",
+        output_directory=None,
+    )
+    # skip render check (the reference's render() is a no-op too)
+    check_env(env, skip_render_check=True)
+
+
+def test_train_multi_cli_smoke(tmp_path):
+    from smart_nanogrid_gym_tpu.tools.train_multi import main
+
+    results = main([
+        "--algos", "ppo", "--variants", "basic", "--num-chargers", "4",
+        "--batch", "8", "--epochs", "1", "--episodes-per-epoch", "8",
+        "--models-dir", str(tmp_path / "m"), "--eval-days", "4",
+    ])
+    assert "basic" in results
+    assert any(name.startswith("PPO-basic") for name in results["basic"])
