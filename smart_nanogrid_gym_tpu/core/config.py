@@ -106,11 +106,14 @@ class NanogridConfig:
 
     @property
     def price_table_len(self) -> int:
-        """The reference always allocates 2*24 price entries regardless of the
-        interval (utils/accountant.py:14,49); replicated bug-for-bug at 1h/2h.
-        For sub-hourly intervals we allocate two full days of steps so indexing
-        is in range."""
-        return max(2 * 24, 2 * self.steps_per_day)
+        """At the reference's two runnable intervals (1h/2h) the table is the
+        2*24 hourly layout indexed by timestep, replicated bug-for-bug
+        (utils/accountant.py:14,49; SURVEY.md Q3).  Every other interval —
+        impossible in the reference — gets two full days of *per-timestep*
+        prices with the correct timestep->hour mapping."""
+        if self.time_interval in (1.0, 2.0):
+            return 48
+        return 2 * self.steps_per_day
 
     @property
     def solar_table_len(self) -> int:

@@ -241,7 +241,7 @@ struct NgEngine {
   std::vector<double> pmask;
   double batt_soc = 0.5, batt_init = 0.5, pv_shift = 1.0;
   int t = 0;
-  // scratch for penalty-mask lag (mask evaluated at max(t-1, 0))
+  // penalty-mode -> mask-table dispatch (charging_station.py:50-60)
   const double* mask_table() const {
     switch (penalty_mode) {
       case 1: return m1.data();

@@ -58,10 +58,15 @@ def sharded_rollout_fn(
     num_days = max(1, (num_steps or config.steps_per_day) // config.steps_per_day)
 
     def shard_body(params, states, obs, keys):
-        # keys: (num_days,) day keys (replicated); fused kernel per day
+        # keys: (num_days,) day keys (replicated); fused kernel per day.
+        # Chained days pass the previous trailing obs (continuation invariant).
         trajs = []
+        obs0 = obs
         for d in range(num_days):
-            states, traj = fused_day_rollout(config, params, states, policy_fn, keys[d])
+            states, traj = fused_day_rollout(
+                config, params, states, policy_fn, keys[d], obs0=obs0
+            )
+            obs0 = traj[0][-1]
             trajs.append(traj)
         obs_traj, rewards, dones = jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=0), *trajs

@@ -168,8 +168,11 @@ class DDPGLearner:
             return (res.state, res.obs.astype(self.dtype), ou, buffer), res.reward
 
         keys = jax.random.split(key, self.cfg.steps_per_update)
+        # SB3 resets the OU noise process at each episode end; every collect is
+        # a fresh episode, so start from zero noise state.
+        ou0 = jnp.zeros_like(state.ou_state)
         (env_states, obs, ou, buffer), rewards = jax.lax.scan(
-            body, (env_states0, obs0.astype(self.dtype), state.ou_state, state.buffer), keys
+            body, (env_states0, obs0.astype(self.dtype), ou0, state.buffer), keys
         )
         return env_states, obs, ou, buffer, rewards
 

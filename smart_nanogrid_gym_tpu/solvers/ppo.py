@@ -159,7 +159,11 @@ class PPOLearner:
         for d in range(self.ppo.rollout_days):
             key, k_day, k_steps = jax.random.split(key, 3)
             if self.mesh is not None:
-                k_day = jax.random.fold_in(k_day, jax.lax.axis_index(ENV_AXIS))
+                # decorrelate both day generation and action-sampling noise
+                # across shards; state.key itself stays replicated
+                shard = jax.lax.axis_index(ENV_AXIS)
+                k_day = jax.random.fold_in(k_day, shard)
+                k_steps = jax.random.fold_in(k_steps, shard)
             env_keys = jax.random.split(k_day, batch)
             env_states, obs = reset_fn(env_params, env_keys, env_states.batt_soc, None)
             env_states, (obs_traj, rewards, dones, aux) = fused_day_rollout(

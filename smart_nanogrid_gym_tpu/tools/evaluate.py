@@ -66,26 +66,34 @@ def main(argv=None):
     if model_dirs:
         # Algorithm inferred from the run-dir name prefix, like the reference
         # evaluator's name->algorithm mapping (solvers/evaluator.py:67-77).
+        # Learner templates are built lazily on the first matching run dir.
         from ..solvers.ddpg import DDPGLearner
 
-        ppo_learner = PPOLearner(config)
-        ppo_template = ppo_learner.init(jax.random.PRNGKey(0), params, batch_size=1).params
-        ddpg_learner = DDPGLearner(config)
-        ddpg_template = ddpg_learner.init(jax.random.PRNGKey(0), params, batch_size=1).actor_params
+        learners: dict[str, tuple] = {}
+
+        def get_learner(is_ddpg: bool):
+            kind = "ddpg" if is_ddpg else "ppo"
+            if kind not in learners:
+                if is_ddpg:
+                    learner = DDPGLearner(config)
+                    template = learner.init(jax.random.PRNGKey(0), params, batch_size=1).actor_params
+                else:
+                    learner = PPOLearner(config)
+                    template = learner.init(jax.random.PRNGKey(0), params, batch_size=1).params
+                learners[kind] = (learner, template)
+            return learners[kind]
+
         for d in model_dirs:
             name = os.path.basename(os.path.normpath(d))
             step = args.checkpoint_step if args.checkpoint_step is not None else latest_step(d)
             is_ddpg = name.upper().startswith("DDPG")
-            template = ddpg_template if is_ddpg else ppo_template
+            learner, template = get_learner(is_ddpg)
             try:
                 net_params = restore_checkpoint(d, step, template)
             except Exception as exc:  # incompatible run dir (other config)
                 print(f"# skipping {d}: {exc}", flush=True)
                 continue
-            if is_ddpg:
-                policies[f"{name}@{step}"] = ddpg_learner.policy_fn(net_params)
-            else:
-                policies[f"{name}@{step}"] = ppo_learner.policy_fn(net_params)
+            policies[f"{name}@{step}"] = learner.policy_fn(net_params)
 
     results = evaluate_policies_same_days(
         config, params, policies, num_days=args.days, seed=args.seed

@@ -45,41 +45,53 @@ class TrainGuard:
     """
 
     def __init__(self, step_fn, ckpt_dir: str | None = None, save_every: int = 50,
-                 rng_field: str = "key"):
+                 rng_field: str = "key", max_consecutive_failures: int = 20):
         self.step_fn = step_fn
         self.ckpt_dir = ckpt_dir or tempfile.mkdtemp(prefix="nanogrid_guard_")
         self.save_every = save_every
         self.rng_field = rng_field
-        self.recoveries = 0
+        self.max_consecutive_failures = max_consecutive_failures
+        self.recoveries = 0       # lifetime count (telemetry)
+        self._global_step = 0     # monotonic across run() calls (epoch reuse)
 
     def run(self, state, num_updates: int, *step_args, on_metrics=None):
+        """Advance ``num_updates`` finite updates, rolling back to the newest
+        finite checkpoint on NaN/Inf corruption.  Checkpoints are numbered by a
+        monotonic global counter so reusing one guard across epochs never
+        collides; transient blips that recover don't count toward divergence —
+        only consecutive failures without new progress do."""
         os.makedirs(self.ckpt_dir, exist_ok=True)
-        save_checkpoint(self.ckpt_dir, 0, state)
-        last_good = 0
-        i = 0
-        while i < num_updates:
+        if latest_step(self.ckpt_dir) is None:
+            save_checkpoint(self.ckpt_dir, self._global_step, state)
+        last_good = latest_step(self.ckpt_dir)
+        target = self._global_step + num_updates
+        consecutive_failures = 0
+        while self._global_step < target:
             new_state, metrics = self.step_fn(state, *step_args)
             if bool(check_finite((new_state, metrics))):
                 state = new_state
-                i += 1
+                self._global_step += 1
                 if on_metrics is not None:
-                    on_metrics(i, metrics)
-                if i % self.save_every == 0:
-                    save_checkpoint(self.ckpt_dir, i, state)
-                    last_good = i
+                    on_metrics(self._global_step, metrics)
+                if self._global_step % self.save_every == 0:
+                    save_checkpoint(self.ckpt_dir, self._global_step, state)
+                    last_good = self._global_step
+                    consecutive_failures = 0
             else:
                 # corruption: roll back to the last finite checkpoint and
                 # perturb the RNG so the identical divergence is not replayed
                 self.recoveries += 1
+                consecutive_failures += 1
                 state = restore_checkpoint(self.ckpt_dir, last_good, state)
                 if hasattr(state, self.rng_field):
                     key = getattr(state, self.rng_field)
                     state = state._replace(
                         **{self.rng_field: jax.random.fold_in(key, 7919 + self.recoveries)}
                     )
-                i = last_good
-                if self.recoveries > 20:
+                self._global_step = last_good
+                if consecutive_failures > self.max_consecutive_failures:
                     raise RuntimeError(
-                        "TrainGuard: >20 recoveries — training is persistently diverging"
+                        "TrainGuard: repeated recoveries without progress — "
+                        "training is persistently diverging"
                     )
         return state

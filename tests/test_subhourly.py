@@ -112,6 +112,15 @@ def test_price_table_general_intervals():
         assert table[t] == day[hour], (t, hour)
     # duplicated second day
     np.testing.assert_array_equal(table[:32], table[32:])
+    # 1.5h interval: 16 steps/day, general mapping (reference cannot run this)
+    from smart_nanogrid_gym_tpu.core import NanogridConfig
+    cfg = NanogridConfig(time_interval=1.5, num_chargers=4,
+                         pv_system=False, battery_system=False)
+    assert cfg.price_table_len == 32
+    t15, _ = build_price_table(0, cfg.price_table_len)
+    for t in range(16):
+        hour = int(np.floor(t * 1.5)) % 24
+        assert t15[t] == day[hour], (t, hour)
     # 15-minute interval: each hour repeated 4x
     table15, _ = build_price_table(0, 192)
     for t in range(96):
