@@ -42,3 +42,45 @@ def test_pallas_kernel_matches_fused(config):
     )
     assert soc_final.shape == (config.num_chargers, B)
     assert np.isfinite(np.asarray(soc_final)).all()
+
+
+def test_pallas_policy_kernel_matches_fused():
+    """Fused MLP-policy+env kernel vs fused XLA rollout with the deterministic
+    PPO policy (interpret mode; biases pushed away from 0 so where-branch signs
+    can't flip between the two matmul orderings' last-ulp differences)."""
+    from smart_nanogrid_gym_tpu.ops.pallas_policy_rollout import pallas_policy_day_rollout
+    from smart_nanogrid_gym_tpu.solvers.ppo import PPOLearner
+
+    config = NanogridConfig(num_chargers=8, pv_system=True, battery_system=True)
+    B = 128
+    params = make_params(config, dtype=jnp.float32)
+    bparams = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), params)
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    states, obs = jax.vmap(functools.partial(core_reset, config))(bparams, keys, None, None)
+
+    learner = PPOLearner(config)
+    net_params = learner.network.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, config.obs_dim), jnp.float32)
+    )
+    # push action means clearly away from the 0 branch boundaries
+    bias = np.concatenate([np.full(config.num_chargers, 0.5), [-0.3]]).astype(np.float32)
+    net_params = jax.tree_util.tree_map_with_path(
+        lambda path, x: jnp.asarray(bias) if "Dense_2" in str(path) and "pi" in str(path) and "bias" in str(path) else x,
+        net_params,
+    )
+
+    policy = learner.policy_fn(net_params, deterministic=True)
+    _, (obs_t, rew_fused, _) = fused_day_rollout(
+        config, bparams, states, lambda ob, k: policy(ob), jax.random.PRNGKey(2)
+    )
+
+    rew_pallas, actions, soc_final = pallas_policy_day_rollout(
+        config, bparams, states, net_params, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(rew_pallas), np.asarray(rew_fused), rtol=2e-4, atol=2e-4
+    )
+    assert actions.shape == (config.steps_per_day, config.num_actions, B)
+    low, high = config.action_bounds()
+    a = np.asarray(actions)
+    assert (a >= low[None, :, None] - 1e-6).all() and (a <= high[None, :, None] + 1e-6).all()
