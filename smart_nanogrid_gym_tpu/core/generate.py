@@ -43,8 +43,19 @@ from .params import NanogridParams
 from .state import DaySchedule
 
 
-def generate_schedule(key: jnp.ndarray, config: NanogridConfig, params: NanogridParams) -> DaySchedule:
-    """Generate one day's schedule for all N chargers (jit/vmap-friendly)."""
+def generate_schedule(
+    key: jnp.ndarray,
+    config: NanogridConfig,
+    params: NanogridParams,
+    uniforms: jnp.ndarray | None = None,
+) -> DaySchedule:
+    """Generate one day's schedule for all N chargers (jit/vmap-friendly).
+
+    ``uniforms`` optionally supplies the ``(T, 5, N)`` uniform block instead of
+    drawing it from ``key`` — the contract shared with the fused
+    generation+rollout Pallas kernel (ops/pallas_gen_rollout.py), which consumes
+    the same block and must produce bit-identical schedules.
+    """
     N = config.num_chargers
     T = config.steps_per_day
     L = config.table_len
@@ -55,7 +66,7 @@ def generate_schedule(key: jnp.ndarray, config: NanogridConfig, params: Nanogrid
     k1 = int(1 / config.time_interval)
 
     # One block of uniforms per (timestep, draw-kind, charger).
-    u = jax.random.uniform(key, (T, 5, N), dtype=dtype)
+    u = uniforms if uniforms is not None else jax.random.uniform(key, (T, 5, N), dtype=dtype)
     ts = jnp.arange(T, dtype=jnp.int32)
 
     def scan_step(carry, xs):

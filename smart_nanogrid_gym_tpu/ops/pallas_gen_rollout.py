@@ -1,0 +1,437 @@
+"""Pallas TPU kernels: fused day-schedule generation + RBC closed-loop rollout.
+
+The benchmark's hot loop is "generate a fresh day, then roll it" (the
+reference's ``reset(generate_new_initial_values=True)`` + 24 steps per episode,
+envs/smart_nanogrid_environment.py:311-351, solvers/RL/ppo_train.py:94-102).
+Profiling shows the XLA generation program — a 24-iteration ``lax.scan``
+whose outputs are (B, N, L) tables with the tiny charger axis minor (8 of 128
+lanes used) — costs ~10x the Pallas rollout itself.  These kernels remove that
+program entirely: **the day schedule never exists in HBM**.
+
+Two entry points share one day-step body (:func:`_gen_rbc_step` — the
+generation recurrence of utils/charging_station.py:200-279 incl. the no-draw
+departure branch (SURVEY.md Q5/Q6), the RBC policy of solvers/RBC/rbc.py, and
+the charger/BESS/grid physics identical to ops/pallas_rollout.py); they differ
+only in where the uniforms come from:
+
+1. :func:`pallas_gen_rbc_day` — consumes an explicit uniform block
+   ``u (T, 5, N, B)``, the same contract as
+   ``core.generate.generate_schedule(uniforms=...)``.  Bit-compatible with the
+   XLA engine driven from the same block, and runnable in interpret mode —
+   this is the kernel the CPU test suite pins (tests/test_pallas.py).
+2. :func:`pallas_gen_rbc_multiday` — generates uniforms from the in-kernel
+   hardware PRNG and loops whole days inside the kernel: ONE launch per tens
+   of thousands of days with zero per-day HBM traffic.  Semantics = the same
+   shared step body; only the RNG source differs (distribution-exact, checked
+   against the XLA engine's return statistics at runtime in bench.py).
+
+HBM traffic per env-day: 4 KB of uniforms in + 96 B of rewards out for (1);
+**nothing at all** for (2) — the compute-bound floor of the closed-loop
+benchmark.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import NanogridConfig, PenaltyMode
+from ..core.params import NanogridParams
+
+LANES = 128
+
+# RBC threshold (solvers/RBC/rbc.py:14): normalized departure < 0.16667.
+DEPARTURE_SOON_THRESHOLD = 0.16667
+
+# reference constants (charger.py:20-23, central_management_system.py:35,
+# penaliser.py:7,79,177-181, accountant.py:6,35, charging_station.py:214,257-269)
+_MAX_P, _EFF = 22.0, 0.95
+_BATT_DOD, _MARGIN, _GAIN = 0.15, 0.05, 10.0
+_W_BATT, _W_VEH, _GRID_W, _SELL = 0.8, 1.0, 0.75, 0.8
+_ARRIVAL_THRESHOLD = 0.6
+_SOC_LOW, _SOC_SPAN = 0.1, 0.8
+_CAP_LOW, _CAP_SPAN, _DEFAULT_CAP = 15.0, 105.0, 40.0
+
+
+def _fresh_carry(N, BB):
+    """Day-start recurrence state: all-zero generation + rollout carries
+    (reset(), envs/smart_nanogrid_environment.py:311-351; the (t-1) mod L
+    reads hit the zero pad column at t=0 — SURVEY.md Q2)."""
+    zero_nb = jnp.zeros((N, BB), jnp.float32)
+    return {
+        # generation (charging_station.py:200-279)
+        "present": zero_nb,   # occupied at the previous step (frees on departure)
+        "dep": zero_nb,       # departure timestep of the current vehicle
+        "cap": zero_nb,
+        "req": zero_nb,
+        # rollout (core/rollout.py): previously-written SoC column, previous
+        # capacity/requested/departure columns, trailing-observe penalty mask
+        "prev_col": zero_nb,
+        "prev_capcol": zero_nb,
+        "prev_reqcol": zero_nb,
+        "prev_depcol": zero_nb,
+        "pmask": zero_nb,
+    }
+
+
+def _gen_rbc_step(
+    t, u5, c, price_ref, rad_norm_ref, solar_ref, pv_shift, dod_pen,
+    *, T, dt, pv, penalty_mode, diff_caps, req_soc, k4, k10, k1,
+):
+    """One timestep: generate schedule column t, run the RBC policy on the
+    step-(t-1) observation, apply charger physics + penalties + grid cost.
+
+    ``u5``: the 5 uniform draws at t, each ``(N, BB)``.  ``c``: carry dict from
+    :func:`_fresh_carry`.  Returns ``(reward_row (1, BB), carry)``.
+    """
+    f32 = jnp.float32
+    u_arr, u_soc, u_cap, u_req, u_dep = u5
+    zero_nb = jnp.zeros_like(u_arr)
+
+    # ---- schedule generation at t (generate_schedule, bit-identical) ----
+    arrives = (c["present"] == 0.0) & (u_arr > _ARRIVAL_THRESHOLD)
+    soc_t = _SOC_LOW + _SOC_SPAN * u_soc
+    if diff_caps:
+        cap_new = _CAP_LOW + jnp.floor(u_cap * _CAP_SPAN)
+    else:
+        cap_new = jnp.full_like(u_cap, _DEFAULT_CAP)
+    if req_soc:
+        soc_prime = jnp.minimum(soc_t + 0.1, 1.0)
+        req_new = soc_prime + (1.0 - soc_prime) * u_req
+    else:
+        req_new = jnp.ones_like(u_req)
+
+    low_t = t + k4
+    high_t = min(t + k10, T + k1)
+    if low_t >= high_t:  # no-draw branch (charging_station.py:271-279, Q6)
+        dep_new = jnp.full_like(u_dep, float(low_t))
+    else:
+        dep_new = low_t + jnp.floor(u_dep * float(high_t - low_t))
+
+    present = jnp.maximum(c["present"], arrives.astype(f32))
+    dep = jnp.where(arrives, dep_new, c["dep"])
+    cap = jnp.where(arrives, cap_new, c["cap"])
+    req = jnp.where(arrives, req_new, c["req"])
+    occupied = (present > 0.0) & (float(t) < dep)
+
+    occ_f = occupied.astype(f32)
+    cap_col = jnp.where(occupied, cap, 0.0)
+    req_col = jnp.where(occupied, req, 0.0)
+    soc_col_t = jnp.where(arrives, soc_t, 0.0)
+    dep_col = jnp.where(occupied, dep - float(t), 0.0)
+    if penalty_mode == PenaltyMode.NO_PENALTY:
+        mask_col = zero_nb
+    elif penalty_mode == PenaltyMode.ON_DEPARTURE:
+        mask_col = jnp.where(occupied & (dep == float(t + 1)), 1.0, 0.0)
+    elif penalty_mode == PenaltyMode.SPARSE:
+        mask_col = jnp.where(occupied & (dep <= float(t + 3)), 1.0, 0.0)
+    else:  # DENSE
+        mask_col = occ_f
+
+    if t == 0:
+        # reset's trailing observe computes the step-0 check set (§3.1)
+        pmask = mask_col
+        dep_o = dep_col
+    else:
+        pmask = c["pmask"]
+        dep_o = c["prev_depcol"]
+
+    # ---- RBC policy in-kernel (solvers/RBC/rbc.py:6-29); the policy sees the
+    # observation returned by step t-1 (envs/smart_nanogrid_environment.py:173-174)
+    o = max(t - 1, 0)
+    if pv:
+        rad_now = rad_norm_ref[0, o] * pv_shift
+        rad_next = rad_norm_ref[0, o + 1] * pv_shift
+        fallback = (rad_now + rad_next) * 0.5
+    else:
+        fallback = jnp.zeros_like(pv_shift)
+    soon = dep_o < (24.0 * DEPARTURE_SOON_THRESHOLD)
+    actions = jnp.where(dep_o == 0.0, 0.0, jnp.where(soon, 1.0, fallback))
+
+    # ---- charger physics, charge branch only (RBC actions >= 0) ----
+    cap_eff = jnp.where(arrives, cap_col, c["prev_capcol"])
+    soc_eff = jnp.where(arrives, soc_col_t, c["prev_col"])
+    safe_cap = jnp.where(cap_eff > 0, cap_eff, 1.0)
+    p_raw = actions * (_MAX_P * _EFF)
+    calc = soc_eff + (p_raw * dt) / safe_cap
+    active = occupied & (actions > 0)
+    power = jnp.where(active, p_raw, 0.0)
+    soc_new = jnp.where(actions > 0, jnp.minimum(calc, 1.0), soc_eff)
+    new_col = jnp.where(occupied, soc_new, soc_col_t)
+
+    total_charging = jnp.sum(power, axis=0, keepdims=True)  # (1, BB)
+
+    # ---- vehicle insufficiency penalty (trailing-observe mask; Q2 reads) ----
+    lower = _MARGIN * c["prev_reqcol"]
+    insufficient = c["prev_col"] < c["prev_reqcol"] - lower
+    diff = (c["prev_reqcol"] - c["prev_col"]) * _GAIN
+    veh_pen = jnp.sum(jnp.where((pmask > 0) & insufficient, diff * diff, 0.0),
+                      axis=0, keepdims=True)
+
+    # ---- grid + cost (accountant.py:26-36) ----
+    solar = (solar_ref[0, t] * pv_shift) if pv else jnp.zeros_like(pv_shift)
+    grid_power = total_charging - solar
+    grid_energy = grid_power * dt
+    price_t = price_ref[0, t]
+    g_cost = jnp.where(grid_energy < 0, grid_energy * (_SELL * price_t),
+                       grid_energy * price_t)
+    total_cost = _GRID_W * jnp.abs(g_cost) + _W_BATT * dod_pen + _W_VEH * veh_pen
+
+    carry = {
+        "present": occ_f,  # departed charger frees next step
+        "dep": dep,
+        "cap": cap,
+        "req": req,
+        "prev_col": new_col,
+        "prev_capcol": cap_col,
+        "prev_reqcol": req_col,
+        "prev_depcol": dep_col,
+        "pmask": mask_col,
+    }
+    return -total_cost, carry
+
+
+def _idle_battery_dod_penalty(batt, batt_soc):
+    """The BESS is idle under RBC (action 0), so the DoD penalty is the same
+    constant every step (penaliser.py:104-111)."""
+    if not batt:
+        return jnp.zeros_like(batt_soc)
+    dod_gap = (_BATT_DOD - batt_soc) * _GAIN
+    return jnp.where(batt_soc < _BATT_DOD, dod_gap * dod_gap, 0.0)
+
+
+def _gen_rbc_kernel(
+    # scalar traces, full (1, P)/(1, S) blocks
+    price_ref, rad_norm_ref, solar_ref,
+    # uniform block (T*5, N, BB): row t*5+k = draw-kind k at timestep t
+    u_ref,
+    # per-env scalar rows (8, BB): 0=batt_soc 1=pv_shift
+    scal_ref,
+    # outputs
+    rew_ref,        # (T, BB)
+    soc_final_ref,  # (N, BB) last written SoC column
+    *,
+    T: int,
+    N: int,
+    batt: bool,
+    **step_kw,
+):
+    batt_soc = scal_ref[0:1, :]   # (1, BB)
+    pv_shift = scal_ref[1:2, :]
+    dod_pen = _idle_battery_dod_penalty(batt, batt_soc)
+
+    BB = scal_ref.shape[-1]
+    carry = _fresh_carry(N, BB)
+    for t in range(T):
+        u5 = tuple(u_ref[t * 5 + k] for k in range(5))
+        reward, carry = _gen_rbc_step(
+            t, u5, carry, price_ref, rad_norm_ref, solar_ref, pv_shift, dod_pen,
+            T=T, **step_kw,
+        )
+        rew_ref[t, :] = reward[0]
+
+    soc_final_ref[:, :] = carry["prev_col"]
+
+
+def _gen_rbc_multiday_kernel(
+    price_ref, rad_norm_ref, solar_ref,
+    # seed, SMEM (1, 1) int32
+    seed_ref,
+    # outputs
+    stats_ref,  # (8, BB): row 0 = Σ rewards over all days, row 1 = Σ (day return)²
+    *,
+    T: int,
+    num_days: int,
+    N: int,
+    batt: bool,
+    **step_kw,
+):
+    """Whole-benchmark kernel: ``num_days`` fresh days per env, uniforms from
+    the in-kernel PRNG, one launch, no per-day HBM traffic at all."""
+    f32 = jnp.float32
+    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+
+    BB = stats_ref.shape[-1]
+    inv24 = f32(1.0 / (1 << 24))
+
+    def uniform(shape):
+        # prng_random_bits returns *signed* int32 — bitcast before the shift so
+        # it is logical, then keep the top 24 bits (uniform [0,1), f32-exact);
+        # mosaic can't cast uint32->f32, but after >>8 the value fits in int32.
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return pltpu.bitcast(bits >> 8, jnp.int32).astype(f32) * inv24
+
+    # reference BESS init SoC 0.5 (central_management_system.py:35)
+    batt_soc = jnp.full((1, BB), 0.5, f32)
+    dod_pen = _idle_battery_dod_penalty(batt, batt_soc)
+
+    def day_body(_, stats):
+        rew_total, sq_total = stats
+        # reset(): fresh carries + new PV shift randint(0,180)/100
+        # (envs/smart_nanogrid_environment.py:311-351,349)
+        pv_shift = jnp.floor(uniform((1, BB)) * 181.0) / 100.0
+        carry = _fresh_carry(N, BB)
+        day_return = jnp.zeros((1, BB), f32)
+
+        for t in range(T):
+            u = uniform((5 * N, BB))
+            u5 = tuple(u[k * N:(k + 1) * N] for k in range(5))
+            reward, carry = _gen_rbc_step(
+                t, u5, carry, price_ref, rad_norm_ref, solar_ref, pv_shift, dod_pen,
+                T=T, **step_kw,
+            )
+            day_return = day_return + reward
+
+        return (rew_total + day_return, sq_total + day_return * day_return)
+
+    zero_row = jnp.zeros((1, BB), f32)
+    rew_total, sq_total = jax.lax.fori_loop(
+        0, num_days, day_body, (zero_row, zero_row)
+    )
+    stats_ref[0:1, :] = rew_total
+    stats_ref[1:2, :] = sq_total
+    stats_ref[2:8, :] = jnp.zeros((6, BB), f32)
+
+
+def _step_kwargs(config: NanogridConfig) -> dict:
+    return dict(
+        dt=config.time_interval,
+        pv=config.pv_system,
+        penalty_mode=int(config.penalty_mode),
+        diff_caps=config.different_battery_capacities,
+        req_soc=config.requested_state_of_charge,
+        k4=int(4 / config.time_interval),
+        k10=int(10 / config.time_interval),
+        k1=int(1 / config.time_interval),
+    )
+
+
+def _traces(params: NanogridParams):
+    def trace(x):  # params may be batched (B, P) or unbatched (P,)
+        return (x[0] if x.ndim == 2 else x).reshape(1, -1).astype(jnp.float32)
+
+    return trace(params.price), trace(params.rad_norm), trace(params.solar_power)
+
+
+def pallas_gen_rbc_day(
+    config: NanogridConfig,
+    params: NanogridParams,
+    uniforms: jnp.ndarray,
+    pv_shift: jnp.ndarray,
+    batt_soc: jnp.ndarray | None = None,
+    interpret: bool = False,
+):
+    """Generate a fresh day AND roll the RBC policy over it in one kernel.
+
+    ``uniforms``: ``(T, 5, N, B)`` f32 block — same contract as
+    ``generate_schedule(uniforms=...)`` per env (draw kinds: arrival, SoC,
+    capacity, requested-SoC, departure).  ``pv_shift``: ``(B,)``.
+    ``batt_soc``: ``(B,)`` initial BESS SoC (defaults to the reference's 0.5).
+    Returns ``(rewards (T, B), soc_final (N, B))``.
+
+    Requirements: non-v2x config, batch divisible by 128, homogeneous params
+    (traces taken from env 0 when params are batched).
+    """
+    assert not config.vehicle_to_everything, "RBC kernel covers non-v2x configs"
+    T, N = config.steps_per_day, config.num_chargers
+    B = pv_shift.shape[0]
+    assert B % LANES == 0, f"batch {B} must be divisible by {LANES}"
+    assert uniforms.shape == (T, 5, N, B), uniforms.shape
+
+    price, rad_norm, solar = _traces(params)
+
+    scal = jnp.zeros((8, B), jnp.float32)
+    if batt_soc is None:
+        batt_soc = jnp.broadcast_to(
+            params.batt_init_soc[0] if params.batt_init_soc.ndim else params.batt_init_soc, (B,)
+        )
+    scal = scal.at[0].set(batt_soc.astype(jnp.float32))
+    scal = scal.at[1].set(pv_shift.astype(jnp.float32))
+
+    u = uniforms.reshape(T * 5, N, B).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _gen_rbc_kernel,
+        T=T, N=N, batt=config.battery_system, **_step_kwargs(config),
+    )
+
+    P = price.shape[1]
+    S = rad_norm.shape[1]
+    rewards, soc_final = pl.pallas_call(
+        kernel,
+        grid=(B // LANES,),
+        in_specs=[
+            pl.BlockSpec((1, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T * 5, N, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((T, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B), jnp.float32),
+            jax.ShapeDtypeStruct((N, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(price, rad_norm, solar, u, scal)
+    return rewards, soc_final
+
+
+def pallas_gen_rbc_multiday(
+    config: NanogridConfig,
+    params: NanogridParams,
+    num_days: int,
+    seed: jnp.ndarray | int,
+    batch: int,
+    interpret: bool = False,
+):
+    """Run ``num_days`` fresh generated days × ``batch`` envs of the RBC
+    closed-loop in ONE kernel launch (in-kernel PRNG, no per-day HBM traffic).
+
+    Returns ``stats (8, batch)``: row 0 = Σ rewards per env over all days,
+    row 1 = Σ (day return)² per env (for distribution checks).
+
+    The in-kernel PRNG is per (seed, env-block); uniforms use the 24-bit
+    mantissa conversion, reproducing the reference's draw *distributions* —
+    bit-parity with ``jax.random`` is pinned by :func:`pallas_gen_rbc_day`,
+    which shares the full step body.  Requires a real TPU (the hardware PRNG
+    has no interpret-mode lowering on CPU).
+    """
+    assert not config.vehicle_to_everything, "RBC kernel covers non-v2x configs"
+    T, N = config.steps_per_day, config.num_chargers
+    assert batch % LANES == 0, f"batch {batch} must be divisible by {LANES}"
+
+    price, rad_norm, solar = _traces(params)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    kernel = functools.partial(
+        _gen_rbc_multiday_kernel,
+        T=T, num_days=num_days, N=N, batt=config.battery_system,
+        **_step_kwargs(config),
+    )
+
+    P = price.shape[1]
+    S = rad_norm.shape[1]
+    (stats,) = pl.pallas_call(
+        kernel,
+        grid=(batch // LANES,),
+        in_specs=[
+            pl.BlockSpec((1, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((8, batch), jnp.float32)],
+        interpret=interpret,
+    )(price, rad_norm, solar, seed_arr)
+    return stats

@@ -44,6 +44,53 @@ def test_pallas_kernel_matches_fused(config):
     assert np.isfinite(np.asarray(soc_final)).all()
 
 
+@pytest.mark.parametrize(
+    "config",
+    [
+        NanogridConfig(num_chargers=8, pv_system=True, battery_system=True),
+        NanogridConfig(num_chargers=8, pv_system=True, battery_system=True,
+                       different_battery_capacities=False, requested_state_of_charge=True),
+        NanogridConfig(num_chargers=4, pv_system=False, battery_system=False,
+                       penalty_mode="on_departure"),
+    ],
+    ids=["b-pv-sparse", "b-pv-reqsoc", "basic-ondep"],
+)
+def test_pallas_gen_kernel_matches_fused(config):
+    """Fused generation+RBC kernel vs generate_schedule(uniforms=·) + fused XLA
+    rollout driven by the SAME uniform block (interpret mode on CPU)."""
+    from smart_nanogrid_gym_tpu.core.generate import generate_schedule
+    from smart_nanogrid_gym_tpu.ops.pallas_gen_rollout import pallas_gen_rbc_day
+
+    B = 128
+    T, N = config.steps_per_day, config.num_chargers
+    params = make_params(config, dtype=jnp.float32)
+    bparams = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), params)
+
+    u = jax.random.uniform(jax.random.PRNGKey(3), (B, T, 5, N), jnp.float32)
+    schedules = jax.vmap(
+        lambda uu: generate_schedule(None, config, params, uniforms=uu)
+    )(u)
+    keys = jax.random.split(jax.random.PRNGKey(4), B)
+    states, _ = jax.vmap(functools.partial(core_reset, config))(
+        bparams, keys, None, schedules
+    )
+
+    rbc = make_rbc_policy_fn(config)
+    _, (_, rew_fused, _) = fused_day_rollout(
+        config, bparams, states, lambda ob, k: rbc(ob), jax.random.PRNGKey(5)
+    )
+
+    rew_pallas, soc_final = pallas_gen_rbc_day(
+        config, bparams, jnp.moveaxis(u, 0, -1), states.pv_shift, interpret=True
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(rew_pallas), np.asarray(rew_fused), rtol=2e-5, atol=1e-5
+    )
+    assert soc_final.shape == (N, B)
+    assert np.isfinite(np.asarray(soc_final)).all()
+
+
 def test_pallas_policy_kernel_matches_fused():
     """Fused MLP-policy+env kernel vs fused XLA rollout with the deterministic
     PPO policy (interpret mode; biases pushed away from 0 so where-branch signs
