@@ -1,0 +1,438 @@
+"""Pallas TPU kernels: fused day generation + MLP-policy closed-loop rollout.
+
+The PPO-evaluation counterpart of :mod:`.pallas_gen_rollout`: the reference's
+"fresh day per episode" loop (envs/smart_nanogrid_environment.py:311-351 +
+solvers/evaluator.py:13-24) with a *trained actor network* in the loop instead
+of the rule-based controller.  Everything is fused into one kernel:
+
+- the day schedule is generated column-by-column from the streaming recurrence
+  shared with the RBC kernels (:func:`.pallas_gen_rollout._generate_column` —
+  utils/charging_station.py:200-279 semantics, never materialised in HBM),
+- the observation is assembled in VMEM as an ``(obs_dim, 128)`` block with envs
+  on the lane axis, so the actor's dense layers are MXU matmuls with no
+  transposes (same layout as :mod:`.pallas_policy_rollout`),
+- full charger physics (both charge and discharge branches — the policy may
+  command V2G/battery discharge), bidirectional BESS, penalties, and grid cost
+  run on the VPU between the matmuls (physics identical to
+  ops/pallas_policy_rollout.py, asserted bit-compatible in tests/test_pallas.py).
+
+Two entry points share one step body (:func:`_gen_policy_step`):
+
+1. :func:`pallas_gen_policy_day` — consumes an explicit uniform block
+   ``(T, 5, N, B)`` (the ``generate_schedule(uniforms=...)`` contract) and is
+   runnable in interpret mode: this is what the CPU test suite pins against
+   ``generate_schedule`` + ``fused_day_rollout`` + the XLA policy.
+2. :func:`pallas_gen_policy_multiday` — uniforms from the in-kernel hardware
+   PRNG, whole days looped inside the kernel: ONE launch per tens of thousands
+   of evaluation days with zero per-day HBM traffic (TPU-only; the hardware
+   PRNG has no CPU interpret lowering).  Battery SoC carries across days, like
+   the reference's no-reset rollover (SURVEY.md Q8) and the PPO/DDPG solvers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import NanogridConfig
+from ..core.params import NanogridParams
+from .pallas_gen_rollout import (
+    LANES,
+    _fresh_carry,
+    _generate_column,
+    _step_kwargs,
+    _traces,
+)
+
+# reference constants (charger.py:20-23, central_management_system.py:35,
+# penaliser.py:7,79,177-181, accountant.py:6,35)
+_MAX_P, _EFF = 22.0, 0.95
+_B_CAP, _B_MAXP, _B_EFF, _B_DOD = 80.0, 44.0, 0.95, 0.15
+_MARGIN, _GAIN = 0.05, 10.0
+_W_BATT, _W_VEH, _GRID_W, _SELL = 0.8, 1.0, 0.75, 0.8
+
+
+def _gen_policy_step(
+    t, u5, c, batt_soc,
+    price_ref, price_norm_ref, rad_norm_ref, solar_ref, pv_shift,
+    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, low_ref, high_ref,
+    *, T, N, dt, pv, batt, penalty_mode, diff_caps, req_soc, k4, k10, k1,
+):
+    """One timestep: generate schedule column t, run the MLP actor on the
+    step-(t-1) observation (envs/smart_nanogrid_environment.py:173-174 timing),
+    apply full charger/BESS/grid physics.
+
+    Returns ``(reward_row (1, BB), actions (A, BB), carry, batt_soc_new)``.
+    """
+    f32 = jnp.float32
+    cols, gen = _generate_column(
+        t, u5, c, T=T, penalty_mode=penalty_mode, diff_caps=diff_caps,
+        req_soc=req_soc, k4=k4, k10=k10, k1=k1,
+    )
+    arrives, occupied = cols["arrives"], cols["occupied"]
+    cap_col, req_col = cols["cap_col"], cols["req_col"]
+    soc_col_t, dep_col, mask_col = cols["soc_col_t"], cols["dep_col"], cols["mask_col"]
+
+    if t == 0:
+        # reset's trailing observe: the step-0 policy sees the generated
+        # column 0 and the reset-time penalty-check set (§3.1/§3.2)
+        pmask = mask_col
+        dep_o = dep_col
+        soc_rows = soc_col_t
+    else:
+        pmask = c["pmask"]
+        dep_o = c["prev_depcol"]
+        soc_rows = c["prev_col"]
+
+    # ---- observation block (obs_dim, BB), envs on lanes (§3.2 layout) ----
+    o = max(t - 1, 0)
+    rows = []
+    if pv:
+        rows.append(rad_norm_ref[0, o] * pv_shift)
+        rows.append(jnp.broadcast_to(price_norm_ref[0:1, o], pv_shift.shape))
+        for i in range(1, 4):
+            rows.append(rad_norm_ref[0, o + i] * pv_shift)
+        for i in range(1, 4):
+            rows.append(jnp.broadcast_to(price_norm_ref[0:1, o + i], pv_shift.shape))
+    else:
+        rows.append(jnp.broadcast_to(price_norm_ref[0:1, o], pv_shift.shape))
+        for i in range(1, 4):
+            rows.append(jnp.broadcast_to(price_norm_ref[0:1, o + i], pv_shift.shape))
+    obs = jnp.concatenate(
+        rows + [soc_rows, dep_o / 24.0] + ([batt_soc] if batt else []), axis=0
+    ).astype(f32)
+
+    # ---- MLP actor on the MXU: clip(W3ᵀ tanh(W2ᵀ tanh(W1ᵀ obs + b1) + b2) + b3) ----
+    h1 = jnp.tanh(jnp.dot(w1_ref[:, :], obs, preferred_element_type=f32) + b1_ref[:, :])
+    h2 = jnp.tanh(jnp.dot(w2_ref[:, :], h1, preferred_element_type=f32) + b2_ref[:, :])
+    mean = jnp.dot(w3_ref[:, :], h2, preferred_element_type=f32) + b3_ref[:, :]
+    actions = jnp.clip(mean, low_ref[:, :], high_ref[:, :])  # (A, BB)
+
+    charger_actions = actions[:N]
+    battery_action = actions[N : N + 1] if batt else jnp.zeros_like(pv_shift)
+
+    # ---- charger physics, both branches (core/physics.py semantics) ----
+    cap_eff = jnp.where(arrives, cap_col, c["prev_capcol"])
+    soc_eff = jnp.where(arrives, soc_col_t, c["prev_col"])
+    safe_cap = jnp.where(cap_eff > 0, cap_eff, 1.0)
+    p_raw = charger_actions * (_MAX_P * _EFF)
+    calc = soc_eff + (p_raw * dt) / safe_cap
+    # discharge: inverted over-discharge flag quirk (charger.py:122-132)
+    od_flag = calc >= 0.0
+    p_dis = jnp.where(od_flag, -(soc_eff * cap_eff) / dt, p_raw)
+    is_pos = charger_actions > 0
+    is_neg = charger_actions < 0
+    power = jnp.where(is_pos, p_raw, jnp.where(is_neg, p_dis, 0.0))
+    soc_new = jnp.where(
+        is_pos, jnp.minimum(calc, 1.0),
+        jnp.where(is_neg, jnp.maximum(calc, 0.0), soc_eff),
+    )
+    power = jnp.where(occupied, power, 0.0)
+    new_col = jnp.where(occupied, soc_new, soc_col_t)
+
+    total_charging = jnp.sum(jnp.where(power > 0, power, 0.0), axis=0, keepdims=True)
+    total_discharging = jnp.sum(jnp.where(power < 0, power, 0.0), axis=0, keepdims=True)
+
+    # ---- vehicle insufficiency penalty (trailing-observe mask; Q2 reads) ----
+    req_p = c["prev_reqcol"]
+    insufficient = c["prev_col"] < req_p - _MARGIN * req_p
+    dgap = (req_p - c["prev_col"]) * _GAIN
+    veh_pen = jnp.sum(jnp.where((pmask > 0) & insufficient, dgap * dgap, 0.0),
+                      axis=0, keepdims=True)
+
+    # ---- energy balance + bidirectional BESS ----
+    solar = (solar_ref[0, t] * pv_shift) if pv else jnp.zeros_like(pv_shift)
+    remaining = total_charging + total_discharging - solar
+
+    if batt:
+        p_calc = battery_action * (_B_MAXP * _B_EFF)
+        b_calc = batt_soc + (p_calc * dt) / _B_CAP
+        b_od = b_calc < 0.0
+        p_b_dis = jnp.where(b_od, -(batt_soc * _B_CAP) / dt, p_calc)
+        b_pos = battery_action > 0
+        b_neg = battery_action < 0
+        batt_soc = jnp.where(
+            b_pos, jnp.minimum(b_calc, 1.0),
+            jnp.where(b_neg, jnp.maximum(b_calc, 0.0), batt_soc),
+        )
+        p_used = jnp.where(b_pos, p_calc, jnp.where(b_neg, p_b_dis, 0.0))
+        grid_power = remaining + p_used
+        dod_gap = (_B_DOD - batt_soc) * _GAIN
+        dod_pen = jnp.where(batt_soc < _B_DOD, dod_gap * dod_gap, 0.0)
+    else:
+        grid_power = remaining
+        dod_pen = jnp.zeros_like(veh_pen)
+
+    grid_energy = grid_power * dt
+    price_t = price_ref[0, t]
+    g_cost = jnp.where(grid_energy < 0, grid_energy * (_SELL * price_t),
+                       grid_energy * price_t)
+    total_cost = _GRID_W * jnp.abs(g_cost) + _W_BATT * dod_pen + _W_VEH * veh_pen
+
+    carry = {
+        **gen,
+        "prev_col": new_col,
+        "prev_capcol": cap_col,
+        "prev_reqcol": req_col,
+        "prev_depcol": dep_col,
+        "pmask": mask_col,
+    }
+    return -total_cost, actions, carry, batt_soc
+
+
+def _gen_policy_kernel(
+    price_ref, price_norm_ref, rad_norm_ref, solar_ref,
+    # uniform block (T*5, N, BB): row t*5+k = draw-kind k at timestep t
+    u_ref,
+    # per-env scalar rows (8, BB): 0=batt_soc 1=pv_shift
+    scal_ref,
+    # MLP weights + action bounds (replicated blocks)
+    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, low_ref, high_ref,
+    # outputs
+    rew_ref,        # (T, BB)
+    act_ref,        # (T, A, BB)
+    soc_final_ref,  # (N, BB)
+    batt_final_ref, # (1, BB)
+    *,
+    T: int,
+    N: int,
+    **step_kw,
+):
+    batt_soc = scal_ref[0:1, :]
+    pv_shift = scal_ref[1:2, :]
+
+    BB = scal_ref.shape[-1]
+    carry = _fresh_carry(N, BB)
+    for t in range(T):
+        u5 = tuple(u_ref[t * 5 + k] for k in range(5))
+        reward, actions, carry, batt_soc = _gen_policy_step(
+            t, u5, carry, batt_soc,
+            price_ref, price_norm_ref, rad_norm_ref, solar_ref, pv_shift,
+            w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, low_ref, high_ref,
+            T=T, N=N, **step_kw,
+        )
+        rew_ref[t, :] = reward[0]
+        act_ref[t] = actions
+
+    soc_final_ref[:, :] = carry["prev_col"]
+    batt_final_ref[:, :] = batt_soc
+
+
+def _gen_policy_multiday_kernel(
+    price_ref, price_norm_ref, rad_norm_ref, solar_ref,
+    seed_ref,  # SMEM (1, 1) int32
+    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, low_ref, high_ref,
+    stats_ref,  # (8, BB): 0=Σ rewards, 1=Σ (day return)², 2=final batt SoC
+    *,
+    T: int,
+    num_days: int,
+    N: int,
+    batt: bool,
+    **step_kw,
+):
+    """Whole-evaluation kernel: ``num_days`` fresh policy-driven days per env,
+    uniforms from the in-kernel PRNG, battery SoC carried across days."""
+    f32 = jnp.float32
+    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+
+    BB = stats_ref.shape[-1]
+    inv24 = f32(1.0 / (1 << 24))
+
+    def uniform(shape):
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return pltpu.bitcast(bits >> 8, jnp.int32).astype(f32) * inv24
+
+    def day_body(_, st):
+        rew_total, sq_total, batt_soc = st
+        # reset(): fresh carries + new PV shift randint(0,181)/100; battery SoC
+        # persists (central_management_system.py:93-94, SURVEY.md Q8)
+        pv_shift = jnp.floor(uniform((1, BB)) * 181.0) / 100.0
+        carry = _fresh_carry(N, BB)
+        day_return = jnp.zeros((1, BB), f32)
+
+        for t in range(T):
+            u = uniform((5 * N, BB))
+            u5 = tuple(u[k * N:(k + 1) * N] for k in range(5))
+            reward, _, carry, batt_soc = _gen_policy_step(
+                t, u5, carry, batt_soc,
+                price_ref, price_norm_ref, rad_norm_ref, solar_ref, pv_shift,
+                w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, low_ref, high_ref,
+                T=T, N=N, batt=batt, **step_kw,
+            )
+            day_return = day_return + reward
+
+        return (rew_total + day_return, sq_total + day_return * day_return, batt_soc)
+
+    zero_row = jnp.zeros((1, BB), f32)
+    # reference BESS init SoC 0.5 (central_management_system.py:35)
+    batt0 = jnp.full((1, BB), 0.5, f32)
+    rew_total, sq_total, batt_final = jax.lax.fori_loop(
+        0, num_days, day_body, (zero_row, zero_row, batt0)
+    )
+    stats_ref[0:1, :] = rew_total
+    stats_ref[1:2, :] = sq_total
+    stats_ref[2:3, :] = batt_final
+    stats_ref[3:8, :] = jnp.zeros((5, BB), jnp.float32)
+
+
+def _actor_blocks(config: NanogridConfig, net_params):
+    """Extract the pi torso of solvers.networks.ActorCritic, transposed for
+    envs-on-lanes matmuls, plus the action bounds."""
+    pi = net_params["params"]["pi"]
+    w1 = pi["Dense_0"]["kernel"].T.astype(jnp.float32)
+    b1 = pi["Dense_0"]["bias"].reshape(-1, 1).astype(jnp.float32)
+    w2 = pi["Dense_1"]["kernel"].T.astype(jnp.float32)
+    b2 = pi["Dense_1"]["bias"].reshape(-1, 1).astype(jnp.float32)
+    w3 = pi["Dense_2"]["kernel"].T.astype(jnp.float32)
+    b3 = pi["Dense_2"]["bias"].reshape(-1, 1).astype(jnp.float32)
+    low, high = config.action_bounds()
+    low_arr = jnp.asarray(low, jnp.float32).reshape(-1, 1)
+    high_arr = jnp.asarray(high, jnp.float32).reshape(-1, 1)
+    return w1, b1, w2, b2, w3, b3, low_arr, high_arr
+
+
+def _policy_step_kwargs(config: NanogridConfig) -> dict:
+    kw = _step_kwargs(config)
+    kw.pop("pv")
+    return dict(
+        N=config.num_chargers, pv=config.pv_system, batt=config.battery_system, **kw
+    )
+
+
+def _full_traces(params: NanogridParams):
+    def trace(x):
+        return (x[0] if x.ndim == 2 else x).reshape(1, -1).astype(jnp.float32)
+
+    price, rad_norm, solar = _traces(params)
+    return price, trace(params.price_norm), rad_norm, solar
+
+
+def pallas_gen_policy_day(
+    config: NanogridConfig,
+    params: NanogridParams,
+    net_params,
+    uniforms: jnp.ndarray,
+    pv_shift: jnp.ndarray,
+    batt_soc: jnp.ndarray | None = None,
+    interpret: bool = False,
+):
+    """Generate a fresh day AND roll the deterministic MLP actor over it in one
+    kernel.
+
+    ``uniforms``: ``(T, 5, N, B)`` f32 block (the ``generate_schedule(uniforms=·)``
+    contract).  ``net_params``: flax params of solvers.networks.ActorCritic.
+    Returns ``(rewards (T, B), actions (T, A, B), soc_final (N, B),
+    batt_final (B,))``.
+
+    Requirements: batch divisible by 128, homogeneous params (traces from
+    env 0 when batched).
+    """
+    T, N = config.steps_per_day, config.num_chargers
+    A = config.num_actions
+    B = pv_shift.shape[0]
+    assert B % LANES == 0, f"batch {B} must be divisible by {LANES}"
+    assert uniforms.shape == (T, 5, N, B), uniforms.shape
+
+    price, price_norm, rad_norm, solar = _full_traces(params)
+
+    scal = jnp.zeros((8, B), jnp.float32)
+    if batt_soc is None:
+        batt_soc = jnp.broadcast_to(
+            params.batt_init_soc[0] if params.batt_init_soc.ndim else params.batt_init_soc,
+            (B,),
+        )
+    scal = scal.at[0].set(batt_soc.astype(jnp.float32))
+    scal = scal.at[1].set(pv_shift.astype(jnp.float32))
+
+    u = uniforms.reshape(T * 5, N, B).astype(jnp.float32)
+    weights = _actor_blocks(config, net_params)
+
+    kernel = functools.partial(
+        _gen_policy_kernel, T=T, **_policy_step_kwargs(config)
+    )
+
+    P = price.shape[1]
+    S = rad_norm.shape[1]
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    env_block = lambda rows: pl.BlockSpec((rows, LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    rewards, actions, soc_final, batt_final = pl.pallas_call(
+        kernel,
+        grid=(B // LANES,),
+        in_specs=[
+            full((1, P)), full((1, P)), full((1, S)), full((1, S)),
+            pl.BlockSpec((T * 5, N, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            env_block(8),
+        ] + [full(w.shape) for w in weights],
+        out_specs=[
+            env_block(T),
+            pl.BlockSpec((T, A, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            env_block(N),
+            env_block(1),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B), jnp.float32),
+            jax.ShapeDtypeStruct((T, A, B), jnp.float32),
+            jax.ShapeDtypeStruct((N, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(price, price_norm, rad_norm, solar, u, scal, *weights)
+    return rewards, actions, soc_final, batt_final[0]
+
+
+def pallas_gen_policy_multiday(
+    config: NanogridConfig,
+    params: NanogridParams,
+    net_params,
+    num_days: int,
+    seed: jnp.ndarray | int,
+    batch: int,
+    interpret: bool = False,
+):
+    """Run ``num_days`` fresh generated days × ``batch`` envs of the
+    deterministic MLP actor closed-loop in ONE kernel launch.
+
+    Returns ``stats (8, batch)``: row 0 = Σ rewards per env over all days,
+    row 1 = Σ (day return)², row 2 = final battery SoC.
+
+    The in-kernel PRNG is per (seed, env-block); the step body is pinned
+    bit-compatible against the XLA engine by :func:`pallas_gen_policy_day`
+    (tests/test_pallas.py).  Requires a real TPU.
+    """
+    T, N = config.steps_per_day, config.num_chargers
+    assert batch % LANES == 0, f"batch {batch} must be divisible by {LANES}"
+
+    price, price_norm, rad_norm, solar = _full_traces(params)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    weights = _actor_blocks(config, net_params)
+
+    kw = _policy_step_kwargs(config)
+    batt = kw.pop("batt")
+    kernel = functools.partial(
+        _gen_policy_multiday_kernel,
+        T=T, num_days=num_days, batt=batt, **kw,
+    )
+
+    P = price.shape[1]
+    S = rad_norm.shape[1]
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    (stats,) = pl.pallas_call(
+        kernel,
+        grid=(batch // LANES,),
+        in_specs=[
+            full((1, P)), full((1, P)), full((1, S)), full((1, S)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ] + [full(w.shape) for w in weights],
+        out_specs=[
+            pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((8, batch), jnp.float32)],
+        interpret=interpret,
+    )(price, price_norm, rad_norm, solar, seed_arr, *weights)
+    return stats

@@ -78,21 +78,22 @@ def _fresh_carry(N, BB):
     }
 
 
-def _gen_rbc_step(
-    t, u5, c, price_ref, rad_norm_ref, solar_ref, pv_shift, dod_pen,
-    *, T, dt, pv, penalty_mode, diff_caps, req_soc, k4, k10, k1,
+def _generate_column(
+    t, u5, c, *, T, penalty_mode, diff_caps, req_soc, k4, k10, k1,
 ):
-    """One timestep: generate schedule column t, run the RBC policy on the
-    step-(t-1) observation, apply charger physics + penalties + grid cost.
+    """Schedule-generation recurrence at timestep t (the streaming form of
+    utils/charging_station.py:200-279 incl. the no-draw departure branch,
+    SURVEY.md Q5/Q6; bit-identical to ``generate_schedule(uniforms=...)``).
 
-    ``u5``: the 5 uniform draws at t, each ``(N, BB)``.  ``c``: carry dict from
-    :func:`_fresh_carry`.  Returns ``(reward_row (1, BB), carry)``.
+    ``u5``: the 5 uniform draws at t, each ``(N, BB)``; ``c``: carry dict with
+    generation keys ``present/dep/cap/req`` (see :func:`_fresh_carry`).
+    Returns ``(cols, gen)``: the schedule columns at t and the generation-carry
+    updates.  Shared by the RBC and MLP-policy fused kernels.
     """
     f32 = jnp.float32
     u_arr, u_soc, u_cap, u_req, u_dep = u5
     zero_nb = jnp.zeros_like(u_arr)
 
-    # ---- schedule generation at t (generate_schedule, bit-identical) ----
     arrives = (c["present"] == 0.0) & (u_arr > _ARRIVAL_THRESHOLD)
     soc_t = _SOC_LOW + _SOC_SPAN * u_soc
     if diff_caps:
@@ -131,6 +132,40 @@ def _gen_rbc_step(
         mask_col = jnp.where(occupied & (dep <= float(t + 3)), 1.0, 0.0)
     else:  # DENSE
         mask_col = occ_f
+
+    cols = {
+        "arrives": arrives,
+        "occupied": occupied,
+        "occ_f": occ_f,
+        "cap_col": cap_col,
+        "req_col": req_col,
+        "soc_col_t": soc_col_t,
+        "dep_col": dep_col,
+        "mask_col": mask_col,
+    }
+    # carried as "present": a charger departed at t frees at t+1
+    gen = {"present": occ_f, "dep": dep, "cap": cap, "req": req}
+    return cols, gen
+
+
+def _gen_rbc_step(
+    t, u5, c, price_ref, rad_norm_ref, solar_ref, pv_shift, dod_pen,
+    *, T, dt, pv, penalty_mode, diff_caps, req_soc, k4, k10, k1,
+):
+    """One timestep: generate schedule column t, run the RBC policy on the
+    step-(t-1) observation, apply charger physics + penalties + grid cost.
+
+    ``u5``: the 5 uniform draws at t, each ``(N, BB)``.  ``c``: carry dict from
+    :func:`_fresh_carry`.  Returns ``(reward_row (1, BB), carry)``.
+    """
+    f32 = jnp.float32
+    cols, gen = _generate_column(
+        t, u5, c, T=T, penalty_mode=penalty_mode, diff_caps=diff_caps,
+        req_soc=req_soc, k4=k4, k10=k10, k1=k1,
+    )
+    arrives, occupied, occ_f = cols["arrives"], cols["occupied"], cols["occ_f"]
+    cap_col, req_col = cols["cap_col"], cols["req_col"]
+    soc_col_t, dep_col, mask_col = cols["soc_col_t"], cols["dep_col"], cols["mask_col"]
 
     if t == 0:
         # reset's trailing observe computes the step-0 check set (§3.1)
@@ -182,10 +217,7 @@ def _gen_rbc_step(
     total_cost = _GRID_W * jnp.abs(g_cost) + _W_BATT * dod_pen + _W_VEH * veh_pen
 
     carry = {
-        "present": occ_f,  # departed charger frees next step
-        "dep": dep,
-        "cap": cap,
-        "req": req,
+        **gen,
         "prev_col": new_col,
         "prev_capcol": cap_col,
         "prev_reqcol": req_col,

@@ -71,6 +71,42 @@ def evaluate_policies_same_days(
     return results
 
 
+def evaluate_policy_at_scale(
+    config: NanogridConfig,
+    params: NanogridParams,
+    net_params,
+    num_days: int = 10_000,
+    batch: int = 4096,
+    seed: int = 0,
+) -> dict[str, float]:
+    """Massive-scale deterministic-actor evaluation in ONE fused TPU kernel.
+
+    Runs ``num_days`` freshly generated days × ``batch`` envs of the trained
+    MLP actor closed-loop via :func:`..ops.pallas_gen_policy_rollout.
+    pallas_gen_policy_multiday` — the whole-benchmark fusion of the reference's
+    evaluate loop (solvers/evaluator.py:13-24 over fresh days), at hundreds of
+    millions of env-steps/s.  TPU-only (the in-kernel PRNG has no CPU
+    lowering); use :func:`evaluate_policies_same_days` for paired CPU-testable
+    comparisons.
+
+    Returns ``{"mean_day_return", "std_day_return", "total_days"}``.
+    """
+    from ..ops.pallas_gen_policy_rollout import pallas_gen_policy_multiday
+
+    stats = jax.jit(
+        functools.partial(pallas_gen_policy_multiday, config, params),
+        static_argnums=(1, 3),
+    )(net_params, num_days, seed, batch)
+    total = float(num_days * batch)
+    mean = float(stats[0].sum()) / total
+    var = float(stats[1].sum()) / total - mean * mean
+    return {
+        "mean_day_return": mean,
+        "std_day_return": float(np.sqrt(max(var, 0.0))),
+        "total_days": int(total),
+    }
+
+
 def predict_single_day(
     config: NanogridConfig,
     params: NanogridParams,

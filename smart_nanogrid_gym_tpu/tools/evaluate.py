@@ -43,6 +43,10 @@ def main(argv=None):
                    help="scan every run dir under this root (reference "
                         "evaluator style, solvers/evaluator.py:44-77)")
     p.add_argument("--checkpoint-step", type=int, default=None)
+    p.add_argument("--at-scale", type=int, default=None, metavar="DAYS",
+                   help="ALSO evaluate each PPO checkpoint on DAYS freshly "
+                        "generated days x 4096 envs in one fused TPU kernel "
+                        "(solvers.evaluator.evaluate_policy_at_scale)")
     args = p.parse_args(argv)
 
     config = build_config(args)
@@ -55,6 +59,7 @@ def main(argv=None):
     }
 
     model_dirs = []
+    ppo_checkpoints: dict[str, object] = {}
     if args.models_dir:
         model_dirs.append(args.models_dir)
     if args.models_root and os.path.isdir(args.models_root):
@@ -94,6 +99,8 @@ def main(argv=None):
                 print(f"# skipping {d}: {exc}", flush=True)
                 continue
             policies[f"{name}@{step}"] = learner.policy_fn(net_params)
+            if not is_ddpg:
+                ppo_checkpoints[f"{name}@{step}"] = net_params
 
     results = evaluate_policies_same_days(
         config, params, policies, num_days=args.days, seed=args.seed
@@ -107,6 +114,15 @@ def main(argv=None):
         }
         for name, r in results.items()
     }
+
+    if args.at_scale:
+        from ..solvers.evaluator import evaluate_policy_at_scale
+
+        for name, net_params in ppo_checkpoints.items():
+            report[f"{name} (at-scale)"] = evaluate_policy_at_scale(
+                config, params, net_params, num_days=args.at_scale, seed=args.seed
+            )
+
     print(json.dumps(report, indent=2))
     return results
 

@@ -131,3 +131,62 @@ def test_pallas_policy_kernel_matches_fused():
     low, high = config.action_bounds()
     a = np.asarray(actions)
     assert (a >= low[None, :, None] - 1e-6).all() and (a <= high[None, :, None] + 1e-6).all()
+
+
+def test_pallas_gen_policy_kernel_matches_fused():
+    """Fused generation+MLP-policy kernel vs generate_schedule(uniforms=·) +
+    fused XLA rollout with the deterministic PPO policy, driven by the SAME
+    uniform block (interpret mode on CPU)."""
+    from smart_nanogrid_gym_tpu.core.generate import generate_schedule
+    from smart_nanogrid_gym_tpu.ops.pallas_gen_policy_rollout import pallas_gen_policy_day
+    from smart_nanogrid_gym_tpu.solvers.ppo import PPOLearner
+
+    config = NanogridConfig(num_chargers=8, pv_system=True, battery_system=True)
+    B = 128
+    T, N = config.steps_per_day, config.num_chargers
+    params = make_params(config, dtype=jnp.float32)
+    bparams = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), params)
+
+    u = jax.random.uniform(jax.random.PRNGKey(11), (B, T, 5, N), jnp.float32)
+    schedules = jax.vmap(
+        lambda uu: generate_schedule(None, config, params, uniforms=uu)
+    )(u)
+    keys = jax.random.split(jax.random.PRNGKey(12), B)
+    states, _ = jax.vmap(functools.partial(core_reset, config))(
+        bparams, keys, None, schedules
+    )
+
+    learner = PPOLearner(config)
+    net_params = learner.network.init(
+        jax.random.PRNGKey(13), jnp.zeros((1, config.obs_dim), jnp.float32)
+    )
+    # push action means clearly away from the 0 branch boundaries
+    bias = np.concatenate([np.full(config.num_chargers, 0.5), [-0.3]]).astype(np.float32)
+    net_params = jax.tree_util.tree_map_with_path(
+        lambda path, x: jnp.asarray(bias) if "Dense_2" in str(path) and "pi" in str(path) and "bias" in str(path) else x,
+        net_params,
+    )
+
+    policy = learner.policy_fn(net_params, deterministic=True)
+    next_state, (_, rew_fused, _) = fused_day_rollout(
+        config, bparams, states, lambda ob, k: policy(ob), jax.random.PRNGKey(14)
+    )
+
+    rew_pallas, actions, soc_final, batt_final = pallas_gen_policy_day(
+        config, bparams, net_params, jnp.moveaxis(u, 0, -1), states.pv_shift,
+        interpret=True,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(rew_pallas), np.asarray(rew_fused), rtol=2e-4, atol=2e-4
+    )
+    # battery SoC carried across the day matches the XLA engine's final state
+    np.testing.assert_allclose(
+        np.asarray(batt_final), np.asarray(next_state.batt_soc), rtol=2e-4, atol=2e-4
+    )
+    assert actions.shape == (T, config.num_actions, B)
+    low, high = config.action_bounds()
+    a = np.asarray(actions)
+    assert (a >= low[None, :, None] - 1e-6).all() and (a <= high[None, :, None] + 1e-6).all()
+    assert soc_final.shape == (N, B)
+    assert np.isfinite(np.asarray(soc_final)).all()
