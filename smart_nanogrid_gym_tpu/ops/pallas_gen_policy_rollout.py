@@ -42,6 +42,7 @@ from ..core.config import NanogridConfig
 from ..core.params import NanogridParams
 from .pallas_gen_rollout import (
     LANES,
+    _draw_step_uniforms,
     _fresh_carry,
     _generate_column,
     _step_kwargs,
@@ -246,6 +247,12 @@ def _gen_policy_multiday_kernel(
         bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
         return pltpu.bitcast(bits >> 8, jnp.int32).astype(f32) * inv24
 
+    draw_u5 = functools.partial(
+        _draw_step_uniforms, uniform, N=N, BB=BB, T=T,
+        diff_caps=step_kw["diff_caps"], req_soc=step_kw["req_soc"],
+        k4=step_kw["k4"], k1=step_kw["k1"],
+    )
+
     def day_body(_, st):
         rew_total, sq_total, batt_soc = st
         # reset(): fresh carries + new PV shift randint(0,181)/100; battery SoC
@@ -255,10 +262,8 @@ def _gen_policy_multiday_kernel(
         day_return = jnp.zeros((1, BB), f32)
 
         for t in range(T):
-            u = uniform((5 * N, BB))
-            u5 = tuple(u[k * N:(k + 1) * N] for k in range(5))
             reward, _, carry, batt_soc = _gen_policy_step(
-                t, u5, carry, batt_soc,
+                t, draw_u5(t), carry, batt_soc,
                 price_ref, price_norm_ref, rad_norm_ref, solar_ref, pv_shift,
                 w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, low_ref, high_ref,
                 T=T, N=N, batt=batt, **step_kw,
