@@ -42,7 +42,7 @@ def _load():
     lib.ng_engine_new.restype = ctypes.c_void_p
     lib.ng_engine_new.argtypes = [
         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, D, ctypes.c_int, D, D, ctypes.c_int]
+        ctypes.c_int, ctypes.c_int, D, ctypes.c_int, D, D, ctypes.c_int]
     lib.ng_engine_free.argtypes = [ctypes.c_void_p]
     lib.ng_engine_obs_dim.restype = ctypes.c_int
     lib.ng_engine_obs_dim.argtypes = [ctypes.c_void_p]
@@ -129,10 +129,20 @@ class NativeEngine:
             price = np.ascontiguousarray(np.asarray(params.price, dtype=np.float64))
             rad = np.ascontiguousarray(np.asarray(params.rad_norm, dtype=np.float64))
             solar = np.ascontiguousarray(np.asarray(params.solar_power, dtype=np.float64))
+        # obs lookahead parameterized from config (reference NUMBER_OF_HOURS_AHEAD
+        # counts timesteps, SURVEY.md Q11); the sparse-penalty 3-step window is
+        # separate and intentionally fixed (Q10: the reference's
+        # check_is_vehicle_departing_in_next_n_timesteps ignores its n).
+        if config.lookahead >= config.steps_per_day:
+            raise ValueError(
+                f"lookahead {config.lookahead} must stay within the padded "
+                f"2-day tables (< {config.steps_per_day} timesteps)"
+            )
         self._h = lib.ng_engine_new(
             config.num_chargers, config.time_interval,
             int(config.pv_system), int(config.battery_system),
             int(config.vehicle_to_everything), int(config.penalty_mode),
+            int(config.lookahead),
             _ptr(price), len(price), _ptr(rad), _ptr(solar), len(solar),
         )
         self._lib = lib

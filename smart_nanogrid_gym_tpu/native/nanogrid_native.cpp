@@ -241,6 +241,7 @@ struct NgEngine {
   std::vector<double> pmask;
   double batt_soc = 0.5, batt_init = 0.5, pv_shift = 1.0;
   int t = 0;
+  int lookahead = 3;  // obs lookahead timesteps (config.lookahead)
   // penalty-mode -> mask-table dispatch (charging_station.py:50-60)
   const double* mask_table() const {
     switch (penalty_mode) {
@@ -253,11 +254,12 @@ struct NgEngine {
 };
 
 void* ng_engine_new(int n_chargers, double time_interval, int pv, int batt,
-                    int v2x, int penalty_mode, const double* price,
-                    int price_len, const double* rad_norm,
+                    int v2x, int penalty_mode, int lookahead,
+                    const double* price, int price_len, const double* rad_norm,
                     const double* solar_power, int solar_len) {
   auto* e = new NgEngine();
   e->n = n_chargers;
+  e->lookahead = lookahead;
   e->dt = time_interval;
   e->T = (int)std::lround(24.0 / time_interval);
   e->L = e->T + 1;
@@ -287,7 +289,10 @@ void ng_engine_free(void* h) { delete static_cast<NgEngine*>(h); }
 
 int ng_engine_obs_dim(void* h) {
   auto* e = static_cast<NgEngine*>(h);
-  int base = (1 + (e->pv ? 1 : 0)) * 4;  // current + 3-step lookahead
+  // current + `lookahead` predicted timesteps per observed quantity
+  // (reference NUMBER_OF_HOURS_AHEAD=3 counts *timesteps*, SURVEY.md Q11;
+  // parameterized here like the JAX engine's config.lookahead)
+  int base = (1 + (e->pv ? 1 : 0)) * (1 + e->lookahead);
   return base + 2 * e->n + (e->batt ? 1 : 0);
 }
 
@@ -297,11 +302,11 @@ static void ng_observe(const NgEngine* e, double* obs) {
   if (e->pv) {
     obs[k++] = e->rad_norm[t] * e->pv_shift;
     obs[k++] = e->price_norm[t];
-    for (int i = 1; i <= 3; ++i) obs[k++] = e->rad_norm[t + i] * e->pv_shift;
-    for (int i = 1; i <= 3; ++i) obs[k++] = e->price_norm[t + i];
+    for (int i = 1; i <= e->lookahead; ++i) obs[k++] = e->rad_norm[t + i] * e->pv_shift;
+    for (int i = 1; i <= e->lookahead; ++i) obs[k++] = e->price_norm[t + i];
   } else {
     obs[k++] = e->price_norm[t];
-    for (int i = 1; i <= 3; ++i) obs[k++] = e->price_norm[t + i];
+    for (int i = 1; i <= e->lookahead; ++i) obs[k++] = e->price_norm[t + i];
   }
   for (int c = 0; c < e->n; ++c) obs[k++] = e->soc[(size_t)c * e->L + t];
   for (int c = 0; c < e->n; ++c) obs[k++] = e->dep_obs[(size_t)c * e->L + t] / 24.0;

@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.config import NanogridConfig
 from ..core.params import NanogridParams
+from .param_guard import check_baked_params
 from .pallas_gen_rollout import (
     LANES,
     _draw_step_uniforms,
@@ -336,6 +337,7 @@ def pallas_gen_policy_day(
     Requirements: batch divisible by 128, homogeneous params (traces from
     env 0 when batched).
     """
+    check_baked_params(config, params, "pallas_gen_policy_day", generation=True)
     T, N = config.steps_per_day, config.num_chargers
     A = config.num_actions
     B = pv_shift.shape[0]
@@ -409,6 +411,8 @@ def pallas_gen_policy_multiday(
     bit-compatible against the XLA engine by :func:`pallas_gen_policy_day`
     (tests/test_pallas.py).  Requires a real TPU.
     """
+    check_baked_params(config, params, "pallas_gen_policy_multiday",
+                       generation=True, battery_init=True)
     T, N = config.steps_per_day, config.num_chargers
     assert batch % LANES == 0, f"batch {batch} must be divisible by {LANES}"
 

@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.config import NanogridConfig, PenaltyMode
 from ..core.params import NanogridParams
+from .param_guard import check_baked_params
 
 LANES = 128
 
@@ -406,6 +407,7 @@ def pallas_gen_rbc_day(
     (traces taken from env 0 when params are batched).
     """
     assert not config.vehicle_to_everything, "RBC kernel covers non-v2x configs"
+    check_baked_params(config, params, "pallas_gen_rbc_day", generation=True)
     T, N = config.steps_per_day, config.num_chargers
     B = pv_shift.shape[0]
     assert B % LANES == 0, f"batch {B} must be divisible by {LANES}"
@@ -474,6 +476,8 @@ def pallas_gen_rbc_multiday(
     has no interpret-mode lowering on CPU).
     """
     assert not config.vehicle_to_everything, "RBC kernel covers non-v2x configs"
+    check_baked_params(config, params, "pallas_gen_rbc_multiday", generation=True,
+                       battery_init=True)
     T, N = config.steps_per_day, config.num_chargers
     assert batch % LANES == 0, f"batch {batch} must be divisible by {LANES}"
 

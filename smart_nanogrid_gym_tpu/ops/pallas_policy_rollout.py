@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.config import NanogridConfig
 from ..core.params import NanogridParams
+from .param_guard import check_baked_params
 from ..core.rollout import build_day_tables
 from ..core.state import EnvState
 
@@ -196,6 +197,7 @@ def pallas_policy_day_rollout(
     Returns ``(rewards (T, B), actions (T, A, B), soc_final (N, B))``.
     """
     T, N = config.steps_per_day, config.num_chargers
+    check_baked_params(config, params, "pallas_policy_day_rollout")
     A = config.num_actions
     B = state.pv_shift.shape[0]
     assert B % LANES == 0, f"batch {B} must be divisible by {LANES}"

@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.config import NanogridConfig
 from ..core.params import NanogridParams
+from .param_guard import check_baked_params
 from ..core.rollout import build_day_tables
 from ..core.state import EnvState
 
@@ -153,6 +154,7 @@ def pallas_rbc_day_rollout(
     (tables taken from env 0).
     """
     assert not config.vehicle_to_everything, "RBC kernel covers non-v2x configs"
+    check_baked_params(config, params, "pallas_rbc_day_rollout")
     T, N = config.steps_per_day, config.num_chargers
     B = state.pv_shift.shape[0]
     assert B % LANES == 0, f"batch {B} must be divisible by {LANES}"

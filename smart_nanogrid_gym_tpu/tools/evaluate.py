@@ -47,6 +47,17 @@ def main(argv=None):
                    help="ALSO evaluate each PPO checkpoint on DAYS freshly "
                         "generated days x 4096 envs in one fused TPU kernel "
                         "(solvers.evaluator.evaluate_policy_at_scale)")
+    p.add_argument("--sb3-zip", action="append", default=[], metavar="ZIP",
+                   help="evaluate an SB3 PPO checkpoint zip as shipped by the "
+                        "reference (solvers/RL/models/*/NNN.zip); repeatable")
+    p.add_argument("--sb3-models-dir", default=None,
+                   help="reference-style model dir of NNN.zip checkpoints; "
+                        "picks --sb3-checkpoint (reference evaluator.py:49-51)")
+    p.add_argument("--sb3-checkpoint", default="999600",
+                   help="checkpoint number inside --sb3-models-dir")
+    p.add_argument("--plot", default=None, metavar="PNG",
+                   help="save the per-episode reward comparison figure "
+                        "(reference solvers/evaluator.py:111-127)")
     args = p.parse_args(argv)
 
     config = build_config(args)
@@ -102,6 +113,21 @@ def main(argv=None):
             if not is_ddpg:
                 ppo_checkpoints[f"{name}@{step}"] = net_params
 
+    sb3_zips = list(args.sb3_zip)
+    if args.sb3_models_dir:
+        sb3_zips.append(os.path.join(args.sb3_models_dir, f"{args.sb3_checkpoint}.zip"))
+    if sb3_zips:
+        from ..compat.sb3_loader import load_sb3_actor_critic, make_sb3_policy_fn
+
+        for zip_path in sb3_zips:
+            net_params, _ = load_sb3_actor_critic(zip_path, config)
+            tag = "SB3-" + os.path.splitext(os.path.basename(zip_path))[0]
+            parent = os.path.basename(os.path.dirname(os.path.abspath(zip_path)))
+            if parent:
+                tag = f"SB3-{parent}@{os.path.splitext(os.path.basename(zip_path))[0]}"
+            policies[tag] = make_sb3_policy_fn(config, net_params)
+            ppo_checkpoints[tag] = jax.tree.map(jnp.asarray, net_params)
+
     results = evaluate_policies_same_days(
         config, params, policies, num_days=args.days, seed=args.seed
     )
@@ -123,8 +149,35 @@ def main(argv=None):
                 config, params, net_params, num_days=args.at_scale, seed=args.seed
             )
 
+    if args.plot:
+        plot_reward_comparison(results, args.plot)
+        report["figure"] = args.plot
+
     print(json.dumps(report, indent=2))
     return results
+
+
+def plot_reward_comparison(results: dict[str, np.ndarray], out_path: str) -> str:
+    """Per-episode total-reward comparison across policies — the figure the
+    reference evaluator produces (solvers/evaluator.py:111-127, shipped as
+    images/Comparison_Evaluation_Reward.png): one line per model over the
+    evaluation episodes, legend, grid."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(15, 10))
+    for name, rewards in results.items():
+        ax.plot(np.asarray(rewards), label=name)
+    ax.set_xlabel("Evaluation episodes")
+    ax.set_ylabel("Total reward per episode")
+    ax.legend()
+    ax.grid(True)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
 
 
 if __name__ == "__main__":

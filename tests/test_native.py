@@ -170,3 +170,43 @@ def test_native_engine_vs_jax_engine():
             rtol=1e-12, atol=1e-12,
         )
         assert done_nat == bool(res.done)
+
+
+@pytest.mark.parametrize("lookahead", [1, 5])
+def test_native_engine_nondefault_lookahead(lookahead):
+    """The native engine's obs lookahead follows config.lookahead (it used to
+    hardcode the reference's 3); parity vs the JAX engine at non-default k."""
+    config = NanogridConfig(
+        num_chargers=4, pv_system=True, battery_system=True, lookahead=lookahead
+    )
+    params = make_params(config, dtype=jnp.float64)
+    tables = generate_schedule_native(99, 4, 1.0)
+    day = schedule_from_arrays(
+        config,
+        soc=tables["soc_init"],
+        arrivals=[[t for t in range(24) if tables["is_arrival"][c, t]] for c in range(4)],
+        departures=[[int(t + tables["dep_obs"][c, t]) for t in range(24) if tables["is_arrival"][c, t]] for c in range(4)],
+        occupancy=tables["occupancy"],
+        capacities=tables["capacity"],
+        requested_soc=tables["requested_soc"],
+    )
+    state, obs0 = reset(config, params, jax.random.PRNGKey(0), schedule=day)
+    state = state._replace(pv_shift=jnp.asarray(1.1, jnp.float64))
+
+    eng = NativeEngine(config)
+    assert eng.obs_dim == config.obs_dim == 2 * (1 + lookahead) + 2 * 4 + 1
+    obs_n = eng.reset(tables, batt_soc=0.5, pv_shift=1.1)
+    np.testing.assert_allclose(obs_n, np.asarray(obs0, dtype=np.float64), rtol=1e-6, atol=1e-7)
+
+    rng = np.random.RandomState(5)
+    for i in range(24):
+        a = np.concatenate([rng.uniform(0, 1, 4), rng.uniform(-1, 1, 1)])
+        res = step(config, params, state, jnp.asarray(a))
+        state = res.state
+        obs_nat, r_nat, done_nat, _ = eng.step(a)
+        np.testing.assert_allclose(r_nat, float(res.reward), rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(
+            obs_nat, np.asarray(res.obs, dtype=np.float64), rtol=1e-6, atol=1e-7,
+            err_msg=f"obs mismatch at step {i} (lookahead={lookahead})",
+        )
+        assert done_nat == bool(res.done)
