@@ -101,7 +101,43 @@ def bench_xla_fused(config, params):
     return BATCH * config.steps_per_day * DAYS_PER_CALL * NUM_CALLS_TIMED / elapsed
 
 
+def bench_scaling(config, params, out_path="SCALING.json"):
+    """Scaling-efficiency sweep (BASELINE.md ≥80% 1-chip→N north star).
+
+    Runs the zero-collectives sharded rollout at fixed per-device batch over
+    mesh sizes 1..N on whatever devices exist (the real chip count here is 1;
+    the virtual 8-device CPU mesh validates the sharding machinery — its
+    wall-clock "efficiency" is meaningless because virtual devices time-slice
+    the same cores, so records are tagged ``virtual``).  Writes ``SCALING.json``
+    and prints one JSON line per platform.
+    """
+    from smart_nanogrid_gym_tpu.parallel.distributed import (
+        initialize_distributed, scaling_sweep, write_scaling_report)
+
+    initialize_distributed()
+    payload = {}
+    real = [d for d in jax.devices() if d.platform != "cpu"]
+    if real:
+        records = scaling_sweep(config, params, devices=real, batch_per_device=4096)
+        payload["tpu"] = {"records": records, "virtual": False}
+        print(json.dumps({"platform": "tpu", "records": records}))
+    cpus = jax.devices("cpu")
+    if len(cpus) > 1:
+        records = scaling_sweep(
+            config, params, devices=cpus, batch_per_device=256, num_days=4
+        )
+        payload["cpu_virtual"] = {"records": records, "virtual": True}
+        print(json.dumps({"platform": "cpu_virtual", "records": records}))
+    write_scaling_report(
+        payload.get("tpu", payload.get("cpu_virtual", {})).get("records", []),
+        out_path,
+        meta={"platforms": payload},
+    )
+
+
 def main():
+    import sys
+
     config = NanogridConfig(
         num_chargers=8,
         pv_system=True,
@@ -110,6 +146,10 @@ def main():
         time_interval=1.0,
     )
     params = make_params(config, dtype=jnp.float32)
+
+    if "--scaling" in sys.argv:
+        bench_scaling(config, params)
+        return
 
     try:
         steps_per_sec = bench_pallas_multiday(config, params)

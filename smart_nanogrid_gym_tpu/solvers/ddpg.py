@@ -65,6 +65,16 @@ class DDPGTrainState(NamedTuple):
     update_step: jnp.ndarray
 
 
+def ou_step(ou, gaussian, theta, sigma, dt, mu=0.0):
+    """One Ornstein-Uhlenbeck discretisation step, exactly SB3's
+    ``OrnsteinUhlenbeckActionNoise.__call__``:
+    ``x' = x + theta*(mu - x)*dt + sigma*sqrt(dt)*N`` with defaults
+    theta=0.15, dt=1e-2 (the reference passes sigma=0.5, ddpg_train.py:111).
+    ``gaussian`` is the standard-normal sample (injected so tests can pin the
+    recurrence against the SB3 formula with a shared sample)."""
+    return ou + theta * (mu - ou) * dt + sigma * jnp.sqrt(jnp.asarray(dt, ou.dtype)) * gaussian
+
+
 class DDPGLearner:
     def __init__(self, env_config: NanogridConfig, ddpg_config: DDPGConfig | None = None,
                  mesh=None, dtype=jnp.float32):
@@ -143,10 +153,8 @@ class DDPGLearner:
         def body(carry, key_t):
             env_states, obs, ou, buffer = carry
             action_det = self.actor.apply(state.actor_params, obs)
-            ou = (
-                ou
-                - theta * ou * ou_dt
-                + sigma * jnp.sqrt(ou_dt) * jax.random.normal(key_t, ou.shape, self.dtype)
+            ou = ou_step(
+                ou, jax.random.normal(key_t, ou.shape, self.dtype), theta, sigma, ou_dt
             )
             action = jnp.clip(action_det + ou, self._action_low, self._action_high)
             res = step_fn(env_params, env_states, action)

@@ -134,6 +134,43 @@ class PPOLearner:
             update_step=jnp.zeros((), jnp.int32),
         )
 
+    def init_distributed(self, key, nanogrid_params: NanogridParams,
+                         global_batch: int, seed: int = 0) -> PPOTrainState:
+        """Multi-host init: host-local env-shard construction over a mesh that
+        may span non-addressable devices (parallel/distributed.py).
+
+        Each process generates only its own shard of the global env batch
+        (schedules keyed by *global* env index, so they are process-count-
+        invariant); learner params/optimizer are replicated from the shared
+        ``key``.  Single-process this is equivalent to :meth:`init` modulo env
+        key derivation."""
+        if self.mesh is None:
+            raise ValueError("init_distributed requires a mesh")
+        from ..parallel.distributed import distributed_reset, replicate_global
+
+        k_net, k_loop = jax.random.split(key)
+        params = self.network.init(k_net, jnp.zeros((1, self.env_config.obs_dim), self.dtype))
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(self.ppo.max_grad_norm),
+            optax.adam(self.ppo.learning_rate),
+        )
+        opt_state = self.tx.init(params)
+
+        bparams, env_states, obs = distributed_reset(
+            self.env_config, nanogrid_params, self.mesh, global_batch, seed=seed
+        )
+        self.nanogrid_params_batched = bparams
+        params = replicate_global(params, self.mesh)
+        opt_state = replicate_global(opt_state, self.mesh)
+        return PPOTrainState(
+            params=params,
+            opt_state=opt_state,
+            env_states=env_states,
+            last_obs=obs.astype(self.dtype),
+            key=k_loop,
+            update_step=jnp.zeros((), jnp.int32),
+        )
+
     # ------------------------------------------------------------- train step --
 
     def _rollout(self, params, env_params, env_states, obs, key):

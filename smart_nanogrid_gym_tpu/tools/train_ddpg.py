@@ -38,6 +38,9 @@ def main(argv=None):
     p.add_argument("--ou-sigma", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--models-dir", default="models")
+    p.add_argument("--log-dir", default=None,
+                   help="write progress.csv + TensorBoard events here "
+                        "(default: <models-dir>/<run>/logs)")
     p.add_argument("--log-every", type=int, default=1)
     args = p.parse_args(argv)
 
@@ -56,6 +59,9 @@ def main(argv=None):
     updates_per_epoch = max(1, math.ceil(args.episodes_per_epoch / args.batch))
     steps_per_update = args.batch * config.steps_per_day
 
+    from ..utils.metrics import MetricsWriter
+
+    writer = MetricsWriter(args.log_dir or os.path.join(models_dir, "logs"))
     start = time.time()
     total_steps = 0
     for epoch in range(args.epochs):
@@ -73,9 +79,17 @@ def main(argv=None):
                 "env_steps": total_steps,
                 "steps_per_sec": round(total_steps / elapsed, 1),
             }), flush=True)
+            writer.add(
+                total_steps,
+                mean_day_return=m["mean_return"],
+                critic_loss=m["critic_loss"],
+                actor_loss=m["actor_loss"],
+                steps_per_sec=total_steps / elapsed,
+            )
         save_checkpoint(models_dir, steps_per_update * updates_per_epoch * (epoch + 1),
                         state.actor_params, env_config=config)
 
+    writer.close()
     elapsed = time.time() - start
     print(f"Training lasted: {elapsed/3600:.0f} h and {elapsed%3600/60:.1f} min", flush=True)
     return state

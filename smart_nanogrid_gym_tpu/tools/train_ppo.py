@@ -63,7 +63,15 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--models-dir", default="models")
     p.add_argument("--mesh", action="store_true", help="shard envs over all devices")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed init + host-local env "
+                        "shards over the global mesh (implies --mesh; --batch "
+                        "is then the GLOBAL batch)")
     p.add_argument("--log-every", type=int, default=1)
+    p.add_argument("--log-dir", default=None,
+                   help="write progress.csv + TensorBoard events here "
+                        "(default: <models-dir>/<run>/logs; reference: "
+                        "ppo_train.py:92 tensorboard_log)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the newest full-state checkpoint in models-dir")
     p.add_argument("--guard", action="store_true",
@@ -71,10 +79,20 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     config = build_config(args)
-    mesh = make_mesh() if args.mesh else None
+    if args.distributed:
+        from ..parallel.distributed import initialize_distributed
+
+        proc, nprocs = initialize_distributed()
+        print(f"process {proc}/{nprocs}, {len(jax.devices())} global devices", flush=True)
+    mesh = make_mesh() if (args.mesh or args.distributed) else None
     learner = PPOLearner(config, PPOConfig(learning_rate=args.learning_rate), mesh=mesh)
     params = make_params(config, dtype=jnp.float32)
-    state = learner.init(jax.random.PRNGKey(args.seed), params, batch_size=args.batch)
+    if args.distributed:
+        state = learner.init_distributed(
+            jax.random.PRNGKey(args.seed), params, global_batch=args.batch, seed=args.seed
+        )
+    else:
+        state = learner.init(jax.random.PRNGKey(args.seed), params, batch_size=args.batch)
     train_step = learner.build_train_step()
 
     run_name = (
@@ -99,6 +117,9 @@ def main(argv=None):
 
     print(f"training {run_name}: {args.epochs} epochs x {updates_per_epoch} updates "
           f"x {steps_per_update} env-steps", flush=True)
+    from ..utils.metrics import MetricsWriter
+
+    writer = MetricsWriter(args.log_dir or os.path.join(models_dir, "logs"))
     if args.guard:
         from ..utils.guard import TrainGuard
 
@@ -136,10 +157,20 @@ def main(argv=None):
                 "env_steps": total_steps,
                 "steps_per_sec": round(total_steps / elapsed, 1),
             }), flush=True)
+            writer.add(
+                total_steps,
+                mean_day_return=m.mean_return,
+                policy_loss=m.policy_loss,
+                value_loss=m.value_loss,
+                entropy=m.entropy,
+                approx_kl=m.approx_kl,
+                steps_per_sec=total_steps / elapsed,
+            )
         save_checkpoint(models_dir, steps_per_update * updates_per_epoch * (epoch + 1),
                         state.params, env_config=config)
         save_checkpoint(full_state_dir, epoch + 1, state)
 
+    writer.close()
     elapsed = time.time() - start
     print(f"Training lasted: {elapsed/3600:.0f} h and {elapsed%3600/60:.1f} min "
           f"({total_steps/elapsed:,.0f} env-steps/s)", flush=True)

@@ -55,3 +55,48 @@ def test_predict_single_day_telemetry():
     assert infos.total_cost.shape == (T,)
     assert infos.charger_power_values.shape == (T, 4)
     np.testing.assert_allclose(np.asarray(infos.total_cost), -rewards, rtol=1e-6)
+
+
+def test_ou_noise_matches_sb3_formula():
+    """solvers.ddpg.ou_step must implement SB3's
+    OrnsteinUhlenbeckActionNoise.__call__ exactly:
+    x' = x + theta*(mu-x)*dt + sigma*sqrt(dt)*N  (theta=0.15, dt=1e-2 defaults;
+    the reference passes sigma=0.5, ddpg_train.py:111)."""
+    from smart_nanogrid_gym_tpu.solvers.ddpg import ou_step
+
+    theta, sigma, dt, mu = 0.15, 0.5, 1e-2, 0.0
+    rng = np.random.RandomState(0)
+    x_ref = np.zeros(5)
+    x_jax = jnp.zeros(5, jnp.float64)
+    for _ in range(50):
+        gauss = rng.normal(size=5)
+        # the SB3 reference recurrence, verbatim
+        x_ref = x_ref + theta * (mu - x_ref) * dt + sigma * np.sqrt(dt) * gauss
+        x_jax = ou_step(x_jax, jnp.asarray(gauss), theta, sigma, dt, mu)
+        np.testing.assert_allclose(np.asarray(x_jax), x_ref, rtol=1e-12)
+    # the noise state sits at the OU stationary scale, not exploded
+    assert np.abs(x_ref).max() < sigma * 10
+
+
+def test_ddpg_training_improves_over_init():
+    """DDPG counterpart of test_ppo.test_training_improves_over_random: 200
+    updates must beat the freshly initialised actor on held-out paired days."""
+    params = make_params(CFG, dtype=jnp.float32)
+    learner = DDPGLearner(CFG, DDPGConfig(batch_size=128, buffer_days=20, gradient_steps=24))
+    state0 = learner.init(jax.random.PRNGKey(0), params, batch_size=64)
+    state, history = learner.train(state0, 200)
+
+    results = evaluate_policies_same_days(
+        CFG,
+        params,
+        {
+            "init": learner.policy_fn(state0.actor_params),
+            "trained": learner.policy_fn(state.actor_params),
+        },
+        num_days=64,
+        seed=5,
+    )
+    init_r, trained_r = results["init"].mean(), results["trained"].mean()
+    assert np.isfinite(trained_r)
+    # measured: init ~-140, trained ~-98; require a clear improvement margin
+    assert trained_r > init_r + 10.0, (init_r, trained_r)

@@ -1,0 +1,128 @@
+"""Multi-host distributed runtime (parallel/distributed.py).
+
+Real multi-host DCN cannot run in this container; these tests pin everything
+that CAN be validated without it:
+
+- process wiring is a safe no-op single-process;
+- host shard bounds / global-array assembly round-trip on the virtual 8-device
+  mesh;
+- host-local day generation is keyed by GLOBAL env indices, so schedules are
+  bit-identical under any mesh/process layout;
+- the compiled per-device cost of the sharded rollout is mesh-size-invariant
+  (fixed per-device batch): the compile-time form of the BASELINE ≥80%
+  scaling-efficiency north star — with zero collectives in the rollout
+  (test_parallel.py) this makes scaling linear by construction;
+- the scaling sweep harness (bench.py --scaling) runs end-to-end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from smart_nanogrid_gym_tpu.core import NanogridConfig, make_params
+from smart_nanogrid_gym_tpu.parallel import distributed as D
+from smart_nanogrid_gym_tpu.parallel.mesh import ENV_AXIS, sharded_rollout_fn
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = NanogridConfig(num_chargers=4, pv_system=True, battery_system=True)
+    params = make_params(config, dtype=jnp.float32)
+    return config, params, jax.devices("cpu")
+
+
+def test_initialize_noop_single_process():
+    pi, pc = D.initialize_distributed()
+    assert (pi, pc) == (0, 1)
+
+
+def test_host_shard_bounds(setup):
+    _, _, cpus = setup
+    mesh = Mesh(np.asarray(cpus), (ENV_AXIS,))
+    lo, hi = D.host_shard_bounds(mesh, 64)
+    assert (lo, hi) == (0, 64)  # single process owns everything
+
+
+def test_global_env_keys_are_global_indexed():
+    """The [32:64) slice of a 64-env key batch equals keys generated for the
+    global range [32, 64) directly — what makes generation host-layout-proof."""
+    all_keys = D.global_env_keys(7, 0, 64)
+    tail = D.global_env_keys(7, 32, 64)
+    np.testing.assert_array_equal(np.asarray(all_keys[32:]), np.asarray(tail))
+
+
+def test_distributed_reset_mesh_size_invariant(setup):
+    """Same global batch on a 1-device and an 8-device mesh: bitwise-identical
+    states/obs (the multi-host contract, simulated single-process)."""
+    config, params, cpus = setup
+    mesh1 = Mesh(np.asarray(cpus[:1]), (ENV_AXIS,))
+    mesh8 = Mesh(np.asarray(cpus), (ENV_AXIS,))
+    _, s1, o1 = D.distributed_reset(config, params, mesh1, 32, seed=3)
+    _, s8, o8 = D.distributed_reset(config, params, mesh8, 32, seed=3)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o8))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s1, s8,
+    )
+
+
+def test_per_device_compiled_cost_mesh_invariant(setup):
+    """Weak scaling at compile time: with a fixed per-device env batch the
+    compiled rollout's per-device flops must not depend on the mesh size
+    (XLA cost_analysis reports the per-device SPMD program)."""
+    config, params, cpus = setup
+    per_device = 16
+    flops = {}
+    for n in (1, 2, 4, 8):
+        mesh = Mesh(np.asarray(cpus[:n]), (ENV_AXIS,))
+        bp, st, ob = D.distributed_reset(config, params, mesh, per_device * n)
+        rollout = sharded_rollout_fn(config, mesh, D._default_policy(config))
+        keys = jax.random.split(jax.random.PRNGKey(1), 1)
+        ca = rollout.lower(bp, st, ob, keys).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops[n] = float(ca["flops"])
+    assert flops[1] > 0
+    for n in (2, 4, 8):
+        assert flops[n] == pytest.approx(flops[1], rel=0.01), flops
+
+
+def test_scaling_sweep_runs(setup):
+    config, params, cpus = setup
+    records = D.scaling_sweep(
+        config, params, devices=cpus, batch_per_device=64,
+        num_days=2, timed_calls=1, mesh_sizes=[1, 2],
+    )
+    assert [r["devices"] for r in records] == [1, 2]
+    for r in records:
+        assert r["steps_per_sec"] > 0
+        assert r["global_batch"] == 64 * r["devices"]
+    assert records[0]["efficiency"] == 1.0
+
+
+def test_scaling_report_write(setup, tmp_path):
+    path = tmp_path / "scaling.json"
+    D.write_scaling_report(
+        [{"devices": 1, "steps_per_sec": 1.0, "efficiency": 1.0}],
+        str(path), meta={"virtual": True},
+    )
+    import json
+
+    payload = json.loads(path.read_text())
+    assert payload["virtual"] is True and len(payload["records"]) == 1
+
+
+def test_ppo_init_distributed_and_train_step(setup):
+    """Multi-host learner init path (host-local shards + replicated params)
+    feeds the standard sharded train step, single-process on the virtual mesh."""
+    from smart_nanogrid_gym_tpu.solvers.ppo import PPOConfig, PPOLearner
+
+    config, params, cpus = setup
+    mesh = Mesh(np.asarray(cpus), (ENV_AXIS,))
+    learner = PPOLearner(config, PPOConfig(num_epochs=1, num_minibatches=2), mesh=mesh)
+    state = learner.init_distributed(jax.random.PRNGKey(0), params, global_batch=16)
+    train_step = learner.build_train_step()
+    state, metrics = train_step(state, learner.nanogrid_params_batched)
+    jax.block_until_ready(state)
+    assert np.isfinite(float(metrics.mean_return))
