@@ -44,6 +44,71 @@ BATCH = 4096
 NUM_CALLS_TIMED = 3
 
 
+def xla_day_return_stats(config, params, batch, num_calls, seed0=1000):
+    """Day-return mean/std from the XLA engine (fresh generation + fused day
+    rollout, RBC closed-loop) — the cross-check oracle for the Pallas multiday
+    kernel's in-kernel-PRNG path.  Runs ``num_calls`` × 50 days × ``batch``
+    envs; statistics over all day returns."""
+    import functools as _ft
+
+    import jax.numpy as jnp
+
+    from smart_nanogrid_gym_tpu.core.rollout import fused_day_rollout
+    from smart_nanogrid_gym_tpu.core.transition import reset as core_reset
+    from smart_nanogrid_gym_tpu.solvers.rbc import rbc_policy
+
+    DAYS_PER_CALL = 50
+    bparams = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), params)
+    reset_fn = jax.vmap(_ft.partial(core_reset, config))
+    policy = jax.vmap(_ft.partial(rbc_policy, config))
+
+    @jax.jit
+    def run_days(i):
+        def day(carry, j):
+            keys = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(2), i * 1000 + j), batch)
+            states, _ = reset_fn(bparams, keys, None, None)
+            _, (_, rewards, _) = fused_day_rollout(
+                config, bparams, states, lambda ob, k: policy(ob),
+                jax.random.fold_in(jax.random.PRNGKey(3), i * 1000 + j),
+            )
+            ret = rewards.sum(axis=0)  # (batch,) day returns
+            return carry, (ret.sum(), (ret * ret).sum())
+
+        _, (sums, sqs) = jax.lax.scan(day, 0, jnp.arange(DAYS_PER_CALL))
+        return sums.sum(), sqs.sum()
+
+    total = 0.0
+    total_sq = 0.0
+    n = 0
+    for i in range(num_calls):
+        s, sq = run_days(seed0 + i)
+        total += float(s)
+        total_sq += float(sq)
+        n += DAYS_PER_CALL * batch
+    mean = total / n
+    var = max(total_sq / n - mean * mean, 0.0)
+    return mean, var ** 0.5, n
+
+
+def check_multiday_stats(mean, std, config, params, label):
+    """Cross-check a multiday kernel's day-return statistics against the XLA
+    engine on matched seeds/statistics: mean to <1%, std to <3% (the old check
+    was a ±30% band).  ~200k oracle days → standard error of the oracle mean
+    ≈ std/sqrt(n) ≈ 0.07%, far inside the tolerance."""
+    ref_mean, ref_std, n = xla_day_return_stats(config, params, BATCH, num_calls=1)
+    mean_err = abs(mean - ref_mean) / abs(ref_mean)
+    std_err = abs(std - ref_std) / abs(ref_std)
+    assert mean_err < 0.01, (
+        f"{label}: mean day return {mean:.2f} vs XLA engine {ref_mean:.2f} "
+        f"({mean_err:.2%} off, n={n})"
+    )
+    assert std_err < 0.03, (
+        f"{label}: day-return std {std:.2f} vs XLA engine {ref_std:.2f} "
+        f"({std_err:.2%} off, n={n})"
+    )
+    return ref_mean, ref_std
+
+
 def bench_pallas_multiday(config, params):
     """Whole-benchmark fused kernel: one launch per DAYS days, in-kernel PRNG."""
     from smart_nanogrid_gym_tpu.ops.pallas_gen_rollout import pallas_gen_rbc_multiday
@@ -53,17 +118,20 @@ def bench_pallas_multiday(config, params):
     @jax.jit
     def run_days(seed):
         stats = pallas_gen_rbc_multiday(config, params, DAYS, seed, BATCH)
-        return stats[0].mean() / DAYS  # mean day return (sanity-checked below)
+        total = DAYS * BATCH
+        mean = stats[0].sum() / total
+        var = stats[1].sum() / total - mean * mean
+        return mean, jnp.sqrt(jnp.maximum(var, 0.0))
 
-    mean_ret = float(run_days(0).block_until_ready())
-    # Guard against silently-degenerate physics/PRNG: the 8-charger b-pv RBC
-    # mean day return is ≈ -349 ± a few (checked vs the XLA engine; an all-idle
-    # day is ≈ -6 and an always-charge day is far more negative).
-    assert -450.0 < mean_ret < -250.0, f"suspicious mean day return {mean_ret}"
+    mean_ret, std_ret = map(float, jax.block_until_ready(run_days(0)))
+    # Statistical cross-check vs the XLA engine (mean <1%, std <3% over
+    # 160M kernel days vs 204k oracle days) — catches degenerate physics or
+    # PRNG in the in-kernel-generation path far tighter than a band assert.
+    check_multiday_stats(mean_ret, std_ret, config, params, "pallas_gen_rbc_multiday")
 
     t0 = time.perf_counter()
     for i in range(NUM_CALLS_TIMED):
-        run_days(i).block_until_ready()
+        jax.block_until_ready(run_days(i))
     elapsed = time.perf_counter() - t0
     return BATCH * config.steps_per_day * DAYS * NUM_CALLS_TIMED / elapsed
 
@@ -154,6 +222,10 @@ def main():
     try:
         steps_per_sec = bench_pallas_multiday(config, params)
     except Exception:
+        import traceback
+
+        print("# pallas path failed, falling back to XLA:", file=sys.stderr)
+        traceback.print_exc()
         steps_per_sec = bench_xla_fused(config, params)
 
     print(

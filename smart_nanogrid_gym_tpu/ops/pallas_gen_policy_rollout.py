@@ -46,6 +46,7 @@ from .pallas_gen_rollout import (
     _draw_step_uniforms,
     _fresh_carry,
     _generate_column,
+    _pick_block,
     _step_kwargs,
     _traces,
 )
@@ -429,17 +430,18 @@ def pallas_gen_policy_multiday(
 
     P = price.shape[1]
     S = rad_norm.shape[1]
+    BLOCK = _pick_block(batch)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
 
     (stats,) = pl.pallas_call(
         kernel,
-        grid=(batch // LANES,),
+        grid=(batch // BLOCK,),
         in_specs=[
             full((1, P)), full((1, P)), full((1, S)), full((1, S)),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ] + [full(w.shape) for w in weights],
         out_specs=[
-            pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((8, batch), jnp.float32)],
         interpret=interpret,

@@ -45,6 +45,21 @@ from .param_guard import check_baked_params
 
 LANES = 128
 
+
+def _pick_block(batch: int, maximum: int = 512) -> int:
+    """Widest lane block (multiple of 128, <= maximum) dividing the batch.
+
+    The multiday kernels are semantically block-width-independent (everything
+    is element-wise over lanes; the PRNG is seeded per program id, so width
+    only re-partitions the stream across blocks).  Wider blocks pack more
+    128-lane tiles per VPU/MXU instruction — at (8, 128) tiles the RBC kernel
+    is instruction-issue-bound, and the MLP kernel's (64, k)x(k, lanes)
+    matmuls leave the 128x128 MXU mostly idle at 128 lanes."""
+    block = maximum
+    while block > LANES and batch % block:
+        block -= LANES
+    return block if batch % block == 0 else LANES
+
 # RBC threshold (solvers/RBC/rbc.py:14): normalized departure < 0.16667.
 DEPARTURE_SOON_THRESHOLD = 0.16667
 
@@ -492,9 +507,10 @@ def pallas_gen_rbc_multiday(
 
     P = price.shape[1]
     S = rad_norm.shape[1]
+    BLOCK = _pick_block(batch)
     (stats,) = pl.pallas_call(
         kernel,
-        grid=(batch // LANES,),
+        grid=(batch // BLOCK,),
         in_specs=[
             pl.BlockSpec((1, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -502,7 +518,7 @@ def pallas_gen_rbc_multiday(
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((8, batch), jnp.float32)],
         interpret=interpret,

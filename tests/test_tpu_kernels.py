@@ -1,0 +1,142 @@
+"""Real-TPU validation of the multiday in-kernel-PRNG Pallas kernels.
+
+The step bodies of the multiday kernels are pinned bit-compatible against the
+XLA engine on CPU by tests/test_pallas.py, but the in-kernel hardware PRNG
+(pltpu.prng_*) has no CPU lowering — the actual benchmark kernels only run on
+a TPU.  These tests close that last gap on the real chip: same-config
+statistical cross-check (mean day return <1%, std <3%) between each multiday
+kernel and the XLA engine, over ~10^5 days each — the test-suite twin of the
+runtime check in bench.py.
+
+Skipped when no TPU is attached.  First run compiles over the tunnel
+(~1-2 min/kernel); the persistent compile cache makes reruns fast.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from smart_nanogrid_gym_tpu.core import NanogridConfig, make_params
+
+_TPUS = [d for d in jax.devices() if d.platform != "cpu"]
+pytestmark = pytest.mark.skipif(not _TPUS, reason="no TPU attached")
+
+
+@pytest.fixture(autouse=True)
+def _f32_mode():
+    """The suite enables x64 for oracle tests (conftest.py), but Mosaic only
+    lowers <=32-bit types — run these kernels in standard f32/i32 mode like
+    bench.py does."""
+    with jax.enable_x64(False):
+        yield
+
+BATCH = 512
+KERNEL_DAYS = 400           # x BATCH envs = 204,800 kernel days
+ORACLE_CALLS = 4            # x 50 days x BATCH envs = 102,400 oracle days
+
+
+def _config():
+    return NanogridConfig(num_chargers=8, pv_system=True, battery_system=True,
+                          penalty_mode="sparse")
+
+
+def _xla_stats(config, params, policy, num_calls=ORACLE_CALLS, seed0=0):
+    """Day-return (mean, std) from the XLA engine with fresh generation."""
+    from smart_nanogrid_gym_tpu.core.rollout import fused_day_rollout
+    from smart_nanogrid_gym_tpu.core.transition import reset as core_reset
+
+    bparams = jax.tree.map(lambda x: jnp.broadcast_to(x, (BATCH,) + x.shape), params)
+    reset_fn = jax.vmap(functools.partial(core_reset, config))
+
+    @jax.jit
+    def run(i):
+        def day(carry, j):
+            keys = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(2), i * 100 + j), BATCH)
+            states, _ = reset_fn(bparams, keys, None, None)
+            _, (_, rewards, _) = fused_day_rollout(
+                config, bparams, states, policy,
+                jax.random.fold_in(jax.random.PRNGKey(3), i * 100 + j),
+            )
+            ret = rewards.sum(axis=0)
+            return carry, (ret.sum(), (ret * ret).sum())
+
+        _, (sums, sqs) = jax.lax.scan(day, 0, jnp.arange(50))
+        return sums.sum(), sqs.sum()
+
+    total = total_sq = 0.0
+    n = 0
+    for i in range(num_calls):
+        s, sq = jax.block_until_ready(run(seed0 + i))
+        total += float(s)
+        total_sq += float(sq)
+        n += 50 * BATCH
+    mean = total / n
+    return mean, max(total_sq / n - mean * mean, 0.0) ** 0.5
+
+
+def _kernel_stats(stats, num_days):
+    total = num_days * BATCH
+    s = np.asarray(stats)
+    mean = s[0].sum() / total
+    var = s[1].sum() / total - mean * mean
+    return float(mean), float(max(var, 0.0)) ** 0.5
+
+
+def test_rbc_multiday_kernel_matches_xla_engine_statistics():
+    from smart_nanogrid_gym_tpu.ops.pallas_gen_rollout import pallas_gen_rbc_multiday
+    from smart_nanogrid_gym_tpu.solvers.rbc import rbc_policy
+
+    config = _config()
+    with jax.default_device(_TPUS[0]):
+        params = make_params(config, dtype=jnp.float32)
+
+        @jax.jit
+        def run(seed):
+            return pallas_gen_rbc_multiday(config, params, KERNEL_DAYS, seed, BATCH)
+
+        mean_k, std_k = _kernel_stats(jax.block_until_ready(run(0)), KERNEL_DAYS)
+
+        policy = jax.vmap(functools.partial(rbc_policy, config))
+        mean_x, std_x = _xla_stats(config, params, lambda ob, k: policy(ob))
+
+    assert abs(mean_k - mean_x) / abs(mean_x) < 0.01, (mean_k, mean_x)
+    assert abs(std_k - std_x) / abs(std_x) < 0.03, (std_k, std_x)
+
+
+def test_policy_multiday_kernel_matches_xla_engine_statistics():
+    from smart_nanogrid_gym_tpu.ops.pallas_gen_policy_rollout import (
+        pallas_gen_policy_multiday)
+    from smart_nanogrid_gym_tpu.solvers.networks import ActorCritic
+    from smart_nanogrid_gym_tpu.solvers.ppo import PPOLearner
+
+    config = _config()
+    with jax.default_device(_TPUS[0]):
+        params = make_params(config, dtype=jnp.float32)
+        learner = PPOLearner(config)
+        net = ActorCritic(action_dim=config.num_actions)
+        # un-trained but non-degenerate policy: push biases off zero so the
+        # where-branches take both sides
+        net_params = net.init(jax.random.PRNGKey(42), jnp.zeros((1, config.obs_dim)))
+        net_params = jax.tree.map(
+            lambda x: x + 0.05 if x.ndim == 1 else x, net_params
+        )
+
+        @jax.jit
+        def run(seed):
+            return pallas_gen_policy_multiday(
+                config, params, net_params, KERNEL_DAYS, seed, BATCH
+            )
+
+        mean_k, std_k = _kernel_stats(jax.block_until_ready(run(0)), KERNEL_DAYS)
+
+        policy = learner.policy_fn(net_params, deterministic=True)
+        mean_x, std_x = _xla_stats(config, params, lambda ob, k: policy(ob))
+
+    assert abs(mean_k - mean_x) / abs(mean_x) < 0.01, (mean_k, mean_x)
+    assert abs(std_k - std_x) / abs(std_x) < 0.03, (std_k, std_x)
