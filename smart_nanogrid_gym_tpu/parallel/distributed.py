@@ -111,29 +111,44 @@ def host_shard_bounds(
 
 def make_global_array(tree, mesh: Mesh, global_batch: int, axis_name: str = ENV_AXIS):
     """Assemble per-host local shards (leading axis = local batch) into global
-    jax Arrays sharded over the env axis (``jax.make_array_from_process_local_data``)."""
+    jax Arrays sharded over the env axis.
+
+    Built from explicit per-device shards (``make_array_from_single_device_
+    arrays``) rather than ``make_array_from_process_local_data``: the latter
+    consults the *default backend's* process count, which reports 1 under
+    plugin backends that front a single tunneled chip even when the CPU
+    backend spans processes — the explicit path is backend-agnostic."""
     sharding = NamedSharding(mesh, P(axis_name))
+    lo, _ = host_shard_bounds(mesh, global_batch, axis_name)
 
     def leaf(x):
-        return jax.make_array_from_process_local_data(
-            sharding, np.asarray(x), (global_batch,) + tuple(x.shape[1:])
-        )
+        x = np.asarray(x)
+        gshape = (global_batch,) + x.shape[1:]
+        shards = []
+        for d, idx in sharding.addressable_devices_indices_map(gshape).items():
+            sl = idx[0]
+            start = (sl.start or 0) - lo
+            stop = (global_batch if sl.stop is None else sl.stop) - lo
+            shards.append(jax.device_put(x[start:stop], d))
+        return jax.make_array_from_single_device_arrays(gshape, sharding, shards)
 
     return jax.tree.map(leaf, tree)
 
 
 def replicate_global(tree, mesh: Mesh):
-    """Replicate host-local values over a (possibly multi-host) mesh.
-
-    Unlike ``jax.device_put`` this goes through
-    ``make_array_from_process_local_data`` so it works when the mesh spans
-    non-addressable devices; every process must pass the same values (true for
-    learner params initialised from a shared seed)."""
+    """Replicate host-local values over a (possibly multi-host) mesh via
+    explicit per-device copies — works when the mesh spans non-addressable
+    devices; every process must pass the same values (true for learner params
+    initialised from a shared seed)."""
     repl = NamedSharding(mesh, P())
 
     def leaf(x):
         x = np.asarray(x)
-        return jax.make_array_from_process_local_data(repl, x, x.shape)
+        shards = [
+            jax.device_put(x, d)
+            for d in repl.addressable_devices_indices_map(x.shape).keys()
+        ]
+        return jax.make_array_from_single_device_arrays(x.shape, repl, shards)
 
     return jax.tree.map(leaf, tree)
 

@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--out", default="nanogrid_outputs")
     p.add_argument("--models-dir", default=None)
     p.add_argument("--checkpoint-step", type=int, default=None)
+    p.add_argument("--sb3-zip", default=None,
+                   help="predict with one of the reference's shipped SB3 PPO "
+                        "zips (solvers/predictor.py:60-74 flow, torch-free)")
     args = p.parse_args(argv)
 
     v = VARIANTS[args.variant]
@@ -45,13 +48,19 @@ def main(argv=None):
         vehicle_to_everything=v["vehicle_to_everything"],
         time_interval=args.time_interval,
         vehicle_uncharged_penalty_mode=args.penalty_mode,
-        algorithm_used="RBC" if not args.models_dir else "PPO",
+        algorithm_used="RBC" if not (args.models_dir or args.sb3_zip) else "PPO",
         environment_mode="prediction",
         output_directory=args.out,
         seed=args.seed,
     )
 
-    if args.models_dir:
+    if args.sb3_zip:
+        from ..compat.sb3_loader import load_sb3_actor_critic, make_sb3_policy_fn
+
+        net_params, _ = load_sb3_actor_critic(args.sb3_zip, env.config)
+        sb3_policy = make_sb3_policy_fn(env.config, jax.tree.map(jnp.asarray, net_params))
+        policy = lambda obs, key: sb3_policy(obs)
+    elif args.models_dir:
         learner = PPOLearner(env.config)
         from ..core import make_params
 
