@@ -109,8 +109,15 @@ def test_pallas_policy_kernel_matches_fused():
     net_params = learner.network.init(
         jax.random.PRNGKey(1), jnp.zeros((1, config.obs_dim), jnp.float32)
     )
-    # push action means clearly away from the 0 branch boundaries
-    bias = np.concatenate([np.full(config.num_chargers, 0.5), [-0.3]]).astype(np.float32)
+    # push action means clearly away from the 0 branch boundaries; with v2x,
+    # alternate charge/discharge per charger so both branches are exercised
+    if config.vehicle_to_everything:
+        ch_bias = np.where(np.arange(config.num_chargers) % 2 == 0, 0.5, -0.4)
+    else:
+        ch_bias = np.full(config.num_chargers, 0.5)
+    bias = np.concatenate(
+        [ch_bias, [-0.3]] if config.battery_system else [ch_bias]
+    ).astype(np.float32)
     net_params = jax.tree_util.tree_map_with_path(
         lambda path, x: jnp.asarray(bias) if "Dense_2" in str(path) and "pi" in str(path) and "bias" in str(path) else x,
         net_params,
@@ -133,7 +140,20 @@ def test_pallas_policy_kernel_matches_fused():
     assert (a >= low[None, :, None] - 1e-6).all() and (a <= high[None, :, None] + 1e-6).all()
 
 
-def test_pallas_gen_policy_kernel_matches_fused():
+@pytest.mark.parametrize(
+    "config",
+    [
+        NanogridConfig(num_chargers=8, pv_system=True, battery_system=True),
+        # v2x variants: charger actions go negative (discharge branch + V2G
+        # energy sold to the grid), reference ppo_train.py:50-75
+        NanogridConfig(num_chargers=8, pv_system=True, battery_system=True,
+                       vehicle_to_everything=True),
+        NanogridConfig(num_chargers=4, pv_system=False, battery_system=False,
+                       vehicle_to_everything=True, penalty_mode="dense"),
+    ],
+    ids=["b-pv", "v2x-b-pv", "v2x"],
+)
+def test_pallas_gen_policy_kernel_matches_fused(config):
     """Fused generation+MLP-policy kernel vs generate_schedule(uniforms=·) +
     fused XLA rollout with the deterministic PPO policy, driven by the SAME
     uniform block (interpret mode on CPU)."""
@@ -141,7 +161,6 @@ def test_pallas_gen_policy_kernel_matches_fused():
     from smart_nanogrid_gym_tpu.ops.pallas_gen_policy_rollout import pallas_gen_policy_day
     from smart_nanogrid_gym_tpu.solvers.ppo import PPOLearner
 
-    config = NanogridConfig(num_chargers=8, pv_system=True, battery_system=True)
     B = 128
     T, N = config.steps_per_day, config.num_chargers
     params = make_params(config, dtype=jnp.float32)
@@ -160,8 +179,15 @@ def test_pallas_gen_policy_kernel_matches_fused():
     net_params = learner.network.init(
         jax.random.PRNGKey(13), jnp.zeros((1, config.obs_dim), jnp.float32)
     )
-    # push action means clearly away from the 0 branch boundaries
-    bias = np.concatenate([np.full(config.num_chargers, 0.5), [-0.3]]).astype(np.float32)
+    # push action means clearly away from the 0 branch boundaries; with v2x,
+    # alternate charge/discharge per charger so both branches are exercised
+    if config.vehicle_to_everything:
+        ch_bias = np.where(np.arange(config.num_chargers) % 2 == 0, 0.5, -0.4)
+    else:
+        ch_bias = np.full(config.num_chargers, 0.5)
+    bias = np.concatenate(
+        [ch_bias, [-0.3]] if config.battery_system else [ch_bias]
+    ).astype(np.float32)
     net_params = jax.tree_util.tree_map_with_path(
         lambda path, x: jnp.asarray(bias) if "Dense_2" in str(path) and "pi" in str(path) and "bias" in str(path) else x,
         net_params,
@@ -180,10 +206,11 @@ def test_pallas_gen_policy_kernel_matches_fused():
     np.testing.assert_allclose(
         np.asarray(rew_pallas), np.asarray(rew_fused), rtol=2e-4, atol=2e-4
     )
-    # battery SoC carried across the day matches the XLA engine's final state
-    np.testing.assert_allclose(
-        np.asarray(batt_final), np.asarray(next_state.batt_soc), rtol=2e-4, atol=2e-4
-    )
+    if config.battery_system:
+        # battery SoC carried across the day matches the XLA engine's final state
+        np.testing.assert_allclose(
+            np.asarray(batt_final), np.asarray(next_state.batt_soc), rtol=2e-4, atol=2e-4
+        )
     assert actions.shape == (T, config.num_actions, B)
     low, high = config.action_bounds()
     a = np.asarray(actions)
