@@ -50,6 +50,18 @@ def _load():
         ctypes.c_double, ctypes.c_double, D]
     lib.ng_engine_step.restype = ctypes.c_int
     lib.ng_engine_step.argtypes = [ctypes.c_void_p, D, D, D, D, D]
+    lib.ng_batch_new.restype = ctypes.c_void_p
+    lib.ng_batch_new.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, D, ctypes.c_int, D, D,
+        ctypes.c_int]
+    lib.ng_batch_free.argtypes = [ctypes.c_void_p]
+    lib.ng_batch_obs_dim.restype = ctypes.c_int
+    lib.ng_batch_obs_dim.argtypes = [ctypes.c_void_p]
+    lib.ng_batch_reset_env.argtypes = [ctypes.c_void_p, ctypes.c_int] + [D] * 8 + [
+        ctypes.c_double, ctypes.c_double, D]
+    lib.ng_batch_step.restype = ctypes.c_int
+    lib.ng_batch_step.argtypes = [ctypes.c_void_p] + [D] * 6
     _lib = lib
     return lib
 
@@ -179,3 +191,92 @@ class NativeEngine:
         if getattr(self, "_h", None) and getattr(self, "_lib", None):
             self._lib.ng_engine_free(self._h)
             self._h = None
+
+
+class NativeBatchEngine:
+    """Fleet of independent native envs stepped in lockstep (OpenMP).
+
+    The production-serving counterpart of :class:`NativeEngine`: B envs behind
+    one ``step_batch`` call, parallelised across cores in C++ — no Python in
+    the per-env loop.  Semantics are per-env identical to :class:`NativeEngine`
+    (tests/test_native.py pins the batch against B individual engines)."""
+
+    def __init__(self, config, num_envs: int):
+        lib = _load()
+        self.config = config
+        self.num_envs = num_envs
+        price, rad, solar = _build_tables(config)
+        if config.lookahead >= config.steps_per_day:
+            raise ValueError("lookahead must stay within the padded 2-day tables")
+        self._h = lib.ng_batch_new(
+            num_envs, config.num_chargers, config.time_interval,
+            int(config.pv_system), int(config.battery_system),
+            int(config.vehicle_to_everything), int(config.penalty_mode),
+            int(config.lookahead),
+            _ptr(price), len(price), _ptr(rad), _ptr(solar), len(solar),
+        )
+        self._keepalive = (price, rad, solar)
+        self._lib = lib
+        self.obs_dim = lib.ng_batch_obs_dim(self._h)
+        self.num_actions = config.num_chargers + int(config.battery_system)
+        B, N = num_envs, config.num_chargers
+        self._obs = np.zeros((B, self.obs_dim), dtype=np.float64)
+        self._rewards = np.zeros(B, dtype=np.float64)
+        self._dones = np.zeros(B, dtype=np.float64)
+        self._infos = np.zeros((B, 16), dtype=np.float64)
+        self._powers = np.zeros((B, N), dtype=np.float64)
+
+    def reset(self, schedules, batt_soc: float = -1.0, pv_shifts=None):
+        """Reset every env with its own schedule (list of dicts per
+        generate_schedule_native, or DaySchedule objects)."""
+        if pv_shifts is None:
+            pv_shifts = np.ones(self.num_envs)
+        for i, schedule in enumerate(schedules):
+            if not isinstance(schedule, dict):
+                schedule = {name: np.asarray(getattr(schedule, name), dtype=np.float64)
+                            for name in _SCHEDULE_FIELDS}
+            tables = [np.ascontiguousarray(schedule[name], dtype=np.float64)
+                      for name in _SCHEDULE_FIELDS]
+            self._lib.ng_batch_reset_env(
+                self._h, i, *[_ptr(a) for a in tables],
+                ctypes.c_double(batt_soc), ctypes.c_double(float(pv_shifts[i])),
+                _ptr(self._obs),
+            )
+        return self._obs.copy()
+
+    def step_batch(self, actions):
+        """Step all envs: actions (B, A) -> (obs (B, D), rewards (B,),
+        dones (B,), infos dict of (B,) arrays + charger powers (B, N))."""
+        actions = np.ascontiguousarray(np.asarray(actions, dtype=np.float64))
+        assert actions.shape == (self.num_envs, self.num_actions), actions.shape
+        self._lib.ng_batch_step(
+            self._h, _ptr(actions), _ptr(self._obs), _ptr(self._rewards),
+            _ptr(self._dones), _ptr(self._infos), _ptr(self._powers),
+        )
+        infos = {name: self._infos[:, k].copy() for k, name in enumerate(INFO_FIELDS)}
+        infos["charger_power_values"] = self._powers.copy()
+        return (self._obs.copy(), self._rewards.copy(),
+                self._dones.astype(bool), infos)
+
+    def __del__(self):
+        if getattr(self, "_h", None) and getattr(self, "_lib", None):
+            self._lib.ng_batch_free(self._h)
+            self._h = None
+
+
+def _build_tables(config):
+    """price/rad/solar tables as contiguous f64, numpy-only (no JAX)."""
+    from ..core import prices as prices_mod, solar as solar_mod
+
+    price_table, _ = prices_mod.build_price_table(config.price_model, config.price_table_len)
+    if config.pv_system:
+        irr, solar_power, max_rad = solar_mod.build_solar_tables(
+            config.time_interval, config.steps_per_day
+        )
+        rad_norm = irr / max_rad
+    else:
+        solar_power = np.zeros(config.solar_table_len)
+        rad_norm = np.zeros(config.solar_table_len)
+    return (np.ascontiguousarray(price_table, dtype=np.float64),
+            np.ascontiguousarray(rad_norm, dtype=np.float64),
+            np.ascontiguousarray(solar_power, dtype=np.float64))

@@ -480,4 +480,79 @@ int ng_engine_step(void* h, const double* actions, double* obs_out,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Batched serving engine: B independent envs stepped in parallel (OpenMP).
+// The reference serves one env per process; production serving wants a fleet
+// of independent env instances behind one call — envs never communicate, so
+// the batch step is an embarrassingly-parallel loop over per-env state.
+// ---------------------------------------------------------------------------
+
+struct NgBatch {
+  std::vector<NgEngine*> envs;
+  int obs_dim = 0;
+};
+
+void* ng_batch_new(int n_envs, int n_chargers, double time_interval, int pv,
+                   int batt, int v2x, int penalty_mode, int lookahead,
+                   const double* price, int price_len, const double* rad_norm,
+                   const double* solar_power, int solar_len) {
+  auto* b = new NgBatch();
+  b->envs.reserve((size_t)n_envs);
+  for (int i = 0; i < n_envs; ++i) {
+    b->envs.push_back(static_cast<NgEngine*>(ng_engine_new(
+        n_chargers, time_interval, pv, batt, v2x, penalty_mode, lookahead,
+        price, price_len, rad_norm, solar_power, solar_len)));
+  }
+  b->obs_dim = ng_engine_obs_dim(b->envs[0]);
+  return b;
+}
+
+void ng_batch_free(void* h) {
+  auto* b = static_cast<NgBatch*>(h);
+  for (auto* e : b->envs) ng_engine_free(e);
+  delete b;
+}
+
+int ng_batch_obs_dim(void* h) { return static_cast<NgBatch*>(h)->obs_dim; }
+
+// Reset env `i` with its own schedule tables (each (n, L) row-major).
+void ng_batch_reset_env(void* h, int i, const double* occupancy,
+                        const double* capacity, const double* requested_soc,
+                        const double* soc_init, const double* is_arrival,
+                        const double* dep_obs, const double* mask_departing,
+                        const double* mask_departing3, double batt_soc,
+                        double pv_shift, double* obs_out) {
+  auto* b = static_cast<NgBatch*>(h);
+  ng_engine_reset(b->envs[(size_t)i], occupancy, capacity, requested_soc,
+                  soc_init, is_arrival, dep_obs, mask_departing,
+                  mask_departing3, batt_soc, pv_shift,
+                  obs_out + (size_t)i * b->obs_dim);
+}
+
+// One lockstep step for the whole batch.  actions (B, A) row-major;
+// obs_out (B, obs_dim); rewards/dones (B); infos (B, 16);
+// charger_powers (B, n).  Returns 1 when the day completed.
+int ng_batch_step(void* h, const double* actions, double* obs_out,
+                  double* rewards_out, double* dones_out, double* infos_out,
+                  double* charger_powers_out) {
+  auto* b = static_cast<NgBatch*>(h);
+  const int B = (int)b->envs.size();
+  const int D = b->obs_dim;
+  const int n = b->envs[0]->n;
+  const int A = n + (b->envs[0]->batt ? 1 : 0);
+  int done_any = 0;
+#pragma omp parallel for schedule(static) reduction(| : done_any)
+  for (int i = 0; i < B; ++i) {
+    double reward;
+    int done = ng_engine_step(
+        b->envs[(size_t)i], actions + (size_t)i * A, obs_out + (size_t)i * D,
+        &reward, infos_out + (size_t)i * 16,
+        charger_powers_out + (size_t)i * n);
+    rewards_out[i] = reward;
+    dones_out[i] = (double)done;
+    done_any |= done;
+  }
+  return done_any;
+}
+
 }  // extern "C"

@@ -210,3 +210,39 @@ def test_native_engine_nondefault_lookahead(lookahead):
             err_msg=f"obs mismatch at step {i} (lookahead={lookahead})",
         )
         assert done_nat == bool(res.done)
+
+
+def test_native_batch_engine_matches_individual():
+    """NativeBatchEngine (OpenMP lockstep fleet) is per-env identical to B
+    separate NativeEngines over a full day."""
+    from smart_nanogrid_gym_tpu.native import NativeBatchEngine
+
+    config = NanogridConfig(num_chargers=4, pv_system=True, battery_system=True)
+    B = 8
+    schedules = [generate_schedule_native(1000 + i, 4, 1.0) for i in range(B)]
+    shifts = np.linspace(0.2, 1.6, B)
+
+    batch = NativeBatchEngine(config, B)
+    obs_b = batch.reset(schedules, batt_soc=0.5, pv_shifts=shifts)
+
+    singles = [NativeEngine(config) for _ in range(B)]
+    obs_s = np.stack([
+        eng.reset(schedules[i], batt_soc=0.5, pv_shift=shifts[i])
+        for i, eng in enumerate(singles)
+    ])
+    np.testing.assert_array_equal(obs_b, obs_s)
+
+    rng = np.random.RandomState(9)
+    for t in range(24):
+        actions = rng.uniform(-1, 1, (B, 5))
+        actions[:, :4] = np.abs(actions[:, :4])
+        ob, rew, done, infos = batch.step_batch(actions)
+        for i in range(B):
+            o, r, d, info = singles[i].step(actions[i])
+            np.testing.assert_array_equal(ob[i], o, err_msg=f"env {i} step {t}")
+            assert rew[i] == r and done[i] == d
+            np.testing.assert_array_equal(
+                infos["charger_power_values"][i], info["charger_power_values"]
+            )
+            assert infos["total_cost"][i] == info["total_cost"]
+    assert done.all()
