@@ -404,6 +404,7 @@ def pallas_gen_policy_multiday(
     seed: jnp.ndarray | int,
     batch: int,
     interpret: bool = False,
+    check_params: bool = True,
 ):
     """Run ``num_days`` fresh generated days × ``batch`` envs of the
     deterministic MLP actor closed-loop in ONE kernel launch.
@@ -415,8 +416,9 @@ def pallas_gen_policy_multiday(
     bit-compatible against the XLA engine by :func:`pallas_gen_policy_day`
     (tests/test_pallas.py).  Requires a real TPU.
     """
-    check_baked_params(config, params, "pallas_gen_policy_multiday",
-                       generation=True, battery_init=True)
+    if check_params:  # callers may pre-check eagerly and pass traced params
+        check_baked_params(config, params, "pallas_gen_policy_multiday",
+                           generation=True, battery_init=True)
     assert config.lookahead == 3, (
         "policy kernels bake the reference 3-step obs lookahead "
         "(smart_nanogrid_environment.py:52); use the XLA engine for other k")

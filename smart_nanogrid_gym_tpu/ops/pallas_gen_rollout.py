@@ -479,6 +479,7 @@ def pallas_gen_rbc_multiday(
     seed: jnp.ndarray | int,
     batch: int,
     interpret: bool = False,
+    check_params: bool = True,
 ):
     """Run ``num_days`` fresh generated days × ``batch`` envs of the RBC
     closed-loop in ONE kernel launch (in-kernel PRNG, no per-day HBM traffic).
@@ -493,8 +494,9 @@ def pallas_gen_rbc_multiday(
     has no interpret-mode lowering on CPU).
     """
     assert not config.vehicle_to_everything, "RBC kernel covers non-v2x configs"
-    check_baked_params(config, params, "pallas_gen_rbc_multiday", generation=True,
-                       battery_init=True)
+    if check_params:  # callers may pre-check eagerly and pass traced params
+        check_baked_params(config, params, "pallas_gen_rbc_multiday",
+                           generation=True, battery_init=True)
     T, N = config.steps_per_day, config.num_chargers
     assert batch % LANES == 0, f"batch {batch} must be divisible by {LANES}"
 

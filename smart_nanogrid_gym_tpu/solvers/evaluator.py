@@ -91,12 +91,12 @@ def evaluate_policy_at_scale(
 
     Returns ``{"mean_day_return", "std_day_return", "total_days"}``.
     """
-    from ..ops.pallas_gen_policy_rollout import pallas_gen_policy_multiday
+    from ..ops.param_guard import check_baked_params
 
-    stats = jax.jit(
-        functools.partial(pallas_gen_policy_multiday, config, params),
-        static_argnums=(1, 3),
-    )(net_params, num_days, seed, batch)
+    # guard eagerly (params stay traced inside the cached jit)
+    check_baked_params(config, params, "evaluate_policy_at_scale",
+                       generation=True, battery_init=True)
+    stats = _at_scale_jit(config, num_days, batch)(params, net_params, seed)
     total = float(num_days * batch)
     mean = float(stats[0].sum()) / total
     var = float(stats[1].sum()) / total - mean * mean
@@ -105,6 +105,21 @@ def evaluate_policy_at_scale(
         "std_day_return": float(np.sqrt(max(var, 0.0))),
         "total_days": int(total),
     }
+
+
+@functools.lru_cache(maxsize=32)
+def _at_scale_jit(config: NanogridConfig, num_days: int, batch: int):
+    """One compiled evaluation program per (config, days, batch) — repeated
+    at-scale calls (checkpoint sweeps) reuse it instead of re-jitting a fresh
+    partial every call (which cost seconds of retrace per checkpoint)."""
+    from ..ops.pallas_gen_policy_rollout import pallas_gen_policy_multiday
+
+    def run(params, net_params, seed):
+        return pallas_gen_policy_multiday(
+            config, params, net_params, num_days, seed, batch, check_params=False
+        )
+
+    return jax.jit(run)
 
 
 def predict_single_day(
