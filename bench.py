@@ -203,6 +203,132 @@ def bench_scaling(config, params, out_path="SCALING.json"):
     )
 
 
+def _timeit(fn, work_steps, calls=3):
+    fn(0)
+    t0 = time.perf_counter()
+    for i in range(calls):
+        fn(i + 1)
+    return work_steps * calls / (time.perf_counter() - t0)
+
+
+def bench_all(config, params, out_path="BENCH_TABLE.json"):
+    """Measure EVERY benchmark path in the README table; write one JSON."""
+    import functools as _ft
+
+    import jax.numpy as jnp
+
+    from smart_nanogrid_gym_tpu.core.rollout import fused_day_rollout
+    from smart_nanogrid_gym_tpu.core.transition import reset as core_reset
+    from smart_nanogrid_gym_tpu.solvers.networks import ActorCritic
+    from smart_nanogrid_gym_tpu.solvers.rbc import rbc_policy
+
+    results = {}
+    bparams = jax.tree.map(lambda x: jnp.broadcast_to(x, (BATCH,) + x.shape), params)
+    reset_fn = jax.vmap(_ft.partial(core_reset, config))
+    rbc = jax.vmap(_ft.partial(rbc_policy, config))
+    net = ActorCritic(action_dim=config.num_actions)
+    net_params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, config.obs_dim)))
+    low, high = config.action_bounds()
+    low, high = jnp.asarray(low), jnp.asarray(high)
+
+    def policy(ob, key):
+        mean, _, _ = net.apply(net_params, ob)
+        return jnp.clip(mean, low, high)
+
+    def day_loop(policy_fn, days):
+        @jax.jit
+        def run(i):
+            def day(carry, j):
+                keys = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(0), i * 997 + j), BATCH)
+                states, _ = reset_fn(bparams, keys, None, None)
+                _, (_, rewards, _) = fused_day_rollout(
+                    config, bparams, states, policy_fn,
+                    jax.random.fold_in(jax.random.PRNGKey(1), j),
+                )
+                return carry, rewards.sum(axis=0).mean()
+            _, r = jax.lax.scan(day, 0, jnp.arange(days))
+            return r.mean()
+
+        return lambda i: run(i).block_until_ready()
+
+    # 1. whole-benchmark fused RBC multiday kernel (the headline)
+    from smart_nanogrid_gym_tpu.ops.pallas_gen_rollout import pallas_gen_rbc_multiday
+
+    @jax.jit
+    def rbc_multiday(seed):
+        return pallas_gen_rbc_multiday(config, params, 40_000, seed, BATCH)
+
+    results["pallas_gen_rbc_multiday"] = _timeit(
+        lambda i: jax.block_until_ready(rbc_multiday(i)), BATCH * config.steps_per_day * 40_000)
+
+    # 2. XLA generation + fused XLA day scan, RBC
+    results["xla_gen_plus_fused_day"] = _timeit(
+        day_loop(lambda ob, k: rbc(ob), 50), BATCH * config.steps_per_day * 50)
+
+    # 3. XLA generation + Pallas RBC day kernel
+    from smart_nanogrid_gym_tpu.ops.pallas_rollout import pallas_rbc_day_rollout
+
+    @jax.jit
+    def gen_plus_pallas_day(i):
+        def day(carry, j):
+            keys = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(0), i * 991 + j), BATCH)
+            states, _ = reset_fn(bparams, keys, None, None)
+            rewards, _ = pallas_rbc_day_rollout(config, bparams, states)
+            return carry, rewards.sum(axis=0).mean()
+        _, r = jax.lax.scan(day, 0, jnp.arange(50))
+        return r.mean()
+
+    results["xla_gen_plus_pallas_rbc_day"] = _timeit(
+        lambda i: gen_plus_pallas_day(i).block_until_ready(), BATCH * config.steps_per_day * 50)
+
+    # 4. policy-in-the-loop, fused XLA
+    results["xla_policy_in_loop"] = _timeit(
+        day_loop(policy, 50), BATCH * config.steps_per_day * 50)
+
+    # 5. whole-benchmark fused gen+MLP multiday kernel
+    from smart_nanogrid_gym_tpu.ops.pallas_gen_policy_rollout import pallas_gen_policy_multiday
+
+    @jax.jit
+    def pol_multiday(seed):
+        return pallas_gen_policy_multiday(config, params, net_params, 2_500, seed, BATCH)
+
+    results["pallas_gen_policy_multiday"] = _timeit(
+        lambda i: jax.block_until_ready(pol_multiday(i)), BATCH * config.steps_per_day * 2_500)
+
+    # 6. native engines (CPU serving)
+    import numpy as _np
+
+    from smart_nanogrid_gym_tpu.native import (
+        NativeBatchEngine, NativeEngine, generate_schedule_native)
+
+    sched = generate_schedule_native(0, config.num_chargers, config.time_interval)
+    eng = NativeEngine(config)
+    eng.reset(sched, batt_soc=0.5)
+    a1 = _np.full(config.num_actions, 0.3)
+    t0 = time.perf_counter()
+    for _ in range(20_000):
+        eng.step(a1)
+    results["native_single_env"] = 20_000 / (time.perf_counter() - t0)
+
+    NB = 1024
+    fleet = NativeBatchEngine(config, NB)
+    fleet.reset([generate_schedule_native(i, config.num_chargers) for i in range(NB)])
+    ab = _np.broadcast_to(a1, (NB, config.num_actions)).copy()
+    for _ in range(24):
+        fleet.step_batch(ab)
+    t0 = time.perf_counter()
+    for _ in range(10 * 24):
+        fleet.step_batch(ab)
+    results["native_batched_1024"] = NB * 10 * 24 / (time.perf_counter() - t0)
+
+    results = {k: round(v, 1) for k, v in results.items()}
+    with open(out_path, "w") as fp:
+        json.dump({"batch": BATCH, "config": "8ch b-pv sparse 1h",
+                   "unit": "env-steps/s", "paths": results}, fp, indent=2)
+    for k, v in results.items():
+        print(json.dumps({"path": k, "steps_per_sec": v}))
+
+
 def main():
     import sys
 
@@ -217,6 +343,9 @@ def main():
 
     if "--scaling" in sys.argv:
         bench_scaling(config, params)
+        return
+    if "--all" in sys.argv:
+        bench_all(config, params)
         return
 
     try:
