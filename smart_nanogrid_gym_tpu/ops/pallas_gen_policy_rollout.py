@@ -339,9 +339,10 @@ def pallas_gen_policy_day(
     env 0 when batched).
     """
     check_baked_params(config, params, "pallas_gen_policy_day", generation=True)
-    assert config.lookahead == 3, (
-        "policy kernels bake the reference 3-step obs lookahead "
-        "(smart_nanogrid_environment.py:52); use the XLA engine for other k")
+    if config.lookahead != 3:  # correctness guard — must survive python -O
+        raise ValueError(
+            "policy kernels bake the reference 3-step obs lookahead "
+            "(smart_nanogrid_environment.py:52); use the XLA engine for other k")
     T, N = config.steps_per_day, config.num_chargers
     A = config.num_actions
     B = pv_shift.shape[0]
@@ -419,9 +420,10 @@ def pallas_gen_policy_multiday(
     if check_params:  # callers may pre-check eagerly and pass traced params
         check_baked_params(config, params, "pallas_gen_policy_multiday",
                            generation=True, battery_init=True)
-    assert config.lookahead == 3, (
-        "policy kernels bake the reference 3-step obs lookahead "
-        "(smart_nanogrid_environment.py:52); use the XLA engine for other k")
+    if config.lookahead != 3:  # correctness guard — must survive python -O
+        raise ValueError(
+            "policy kernels bake the reference 3-step obs lookahead "
+            "(smart_nanogrid_environment.py:52); use the XLA engine for other k")
     T, N = config.steps_per_day, config.num_chargers
     assert batch % LANES == 0, f"batch {batch} must be divisible by {LANES}"
 

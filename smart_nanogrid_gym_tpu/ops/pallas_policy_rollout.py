@@ -198,9 +198,10 @@ def pallas_policy_day_rollout(
     """
     T, N = config.steps_per_day, config.num_chargers
     check_baked_params(config, params, "pallas_policy_day_rollout")
-    assert config.lookahead == 3, (
-        "policy kernels bake the reference 3-step obs lookahead "
-        "(smart_nanogrid_environment.py:52); use the XLA engine for other k")
+    if config.lookahead != 3:  # correctness guard — must survive python -O
+        raise ValueError(
+            "policy kernels bake the reference 3-step obs lookahead "
+            "(smart_nanogrid_environment.py:52); use the XLA engine for other k")
     A = config.num_actions
     B = state.pv_shift.shape[0]
     assert B % LANES == 0, f"batch {B} must be divisible by {LANES}"

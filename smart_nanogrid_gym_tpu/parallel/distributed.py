@@ -67,7 +67,14 @@ def initialize_distributed(
     if process_id is None and env_pid is not None:
         process_id = int(env_pid)
 
-    already = jax.process_count() > 1
+    # Detect a prior jax.distributed.initialize WITHOUT touching the XLA
+    # backend: jax.process_count() would itself initialise backends, after
+    # which jax.distributed.initialize raises ("must be called before any JAX
+    # computations are executed").  The distributed client handle is the one
+    # signal that exists pre-backend.
+    from jax._src import distributed as _jax_distributed
+
+    already = _jax_distributed.global_state.client is not None
     if coordinator_address and not already:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -104,7 +111,8 @@ def host_shard_bounds(
     span = sorted((a, b) for a, b in zip(starts, stops))
     covered = span[0][0]
     for a, b in span:
-        assert a <= covered, f"non-contiguous host shard: {span}"
+        if a > covered:  # correctness guard — must survive python -O
+            raise RuntimeError(f"non-contiguous host shard: {span}")
         covered = max(covered, b)
     return lo, hi
 

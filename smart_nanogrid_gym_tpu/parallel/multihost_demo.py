@@ -51,7 +51,12 @@ def main(argv=None):
     if args.platform == "cpu":
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     if args.num_processes > 1:
-        jax.distributed.initialize(
+        # Goes through the production wrapper (not a direct
+        # jax.distributed.initialize) so the multi-process tests exercise the
+        # same init path train_ppo --distributed uses.
+        from .distributed import initialize_distributed
+
+        initialize_distributed(
             coordinator_address=args.coordinator,
             num_processes=args.num_processes,
             process_id=args.process_id,

@@ -121,6 +121,15 @@ class MetricsWriter:
         self.log_dir = os.path.join(log_dir, run_name) if run_name else log_dir
         os.makedirs(self.log_dir, exist_ok=True)
         self._csv_path = os.path.join(self.log_dir, "progress.csv")
+        # Resuming into an existing CSV must keep rows aligned with its header:
+        # read it now and validate the first add() against it (raise on a
+        # schema mismatch rather than silently writing misaligned rows).
+        self._existing_header: list[str] | None = None
+        if os.path.exists(self._csv_path) and os.path.getsize(self._csv_path) > 0:
+            with open(self._csv_path) as fp:
+                first = fp.readline().rstrip("\n")
+            if first:
+                self._existing_header = first.split(",")
         self._csv = open(self._csv_path, "a")
         self._columns: list[str] | None = None
         wall = time.time()
@@ -134,7 +143,13 @@ class MetricsWriter:
     def add(self, step: int, **scalars: float) -> None:
         if self._columns is None:
             self._columns = ["step"] + sorted(scalars)
-            if self._csv.tell() == 0:
+            if self._existing_header is not None:
+                if self._existing_header != self._columns:
+                    raise ValueError(
+                        f"progress.csv at {self._csv_path} has header "
+                        f"{self._existing_header} but this run logs "
+                        f"{self._columns}; use a fresh log_dir/run_name")
+            elif self._csv.tell() == 0:
                 self._csv.write(",".join(self._columns) + "\n")
         unknown = set(scalars) - set(self._columns)
         if unknown:

@@ -126,3 +126,29 @@ def test_ppo_init_distributed_and_train_step(setup):
     state, metrics = train_step(state, learner.nanogrid_params_batched)
     jax.block_until_ready(state)
     assert np.isfinite(float(metrics.mean_return))
+
+
+def test_initialize_distributed_with_coordinator_in_fresh_process():
+    """Regression (ADVICE r2): the wrapper must not touch the XLA backend
+    before jax.distributed.initialize — probing jax.process_count() first
+    initialises backends, after which initialize raises RuntimeError in every
+    real multi-host launch.  Run in a fresh process (no backends yet) with a
+    real coordinator configured."""
+    import os as _os, subprocess as _sp, sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    code = (
+        "from smart_nanogrid_gym_tpu.parallel.distributed import"
+        " initialize_distributed\n"
+        "idx, cnt = initialize_distributed("
+        "coordinator_address='localhost:12499', num_processes=1,"
+        " process_id=0)\n"
+        "print('INIT_OK', idx, cnt)\n"
+    )
+    env = dict(_os.environ)
+    env.pop("JAX_NUM_PROCESSES", None)
+    env.pop("JAX_PROCESS_ID", None)
+    out = _sp.run([_sys.executable, "-c", code], cwd=repo, env=env,
+                  capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "INIT_OK 0 1" in out.stdout

@@ -60,3 +60,31 @@ def test_train_ppo_cli_writes_metrics(tmp_path):
     ])
     assert (tmp_path / "logs" / "progress.csv").exists()
     assert list((tmp_path / "logs").glob("events.out.tfevents.*"))
+
+
+def test_csv_resume_same_schema_appends_without_duplicate_header(tmp_path):
+    with MetricsWriter(str(tmp_path)) as w:
+        w.add(10, loss=0.5)
+    # a resumed run with the SAME metric set appends rows under the one header
+    with MetricsWriter(str(tmp_path)) as w:
+        w.add(20, loss=0.25)
+    text = (tmp_path / "progress.csv").read_text()
+    assert text.count("step,loss") == 1
+    rows = list(csv.DictReader(open(tmp_path / "progress.csv")))
+    assert [r["step"] for r in rows] == ["10", "20"]
+    assert float(rows[1]["loss"]) == 0.25
+
+
+def test_csv_resume_schema_mismatch_raises(tmp_path):
+    with MetricsWriter(str(tmp_path)) as w:
+        w.add(10, loss=0.5)
+    # resuming into an existing file with a DIFFERENT metric set must fail
+    # loudly instead of writing misaligned rows under the old header
+    w = MetricsWriter(str(tmp_path))
+    try:
+        with pytest.raises(ValueError, match="header"):
+            w.add(20, reward=-1.0)
+    finally:
+        w.close()
+    rows = list(csv.DictReader(open(tmp_path / "progress.csv")))
+    assert [r["step"] for r in rows] == ["10"]  # nothing misaligned was written
