@@ -49,6 +49,7 @@ from .pallas_gen_rollout import (
     _pick_block,
     _step_kwargs,
     _traces,
+    _uniform16_rows,
 )
 
 # reference constants (charger.py:20-23, central_management_system.py:35,
@@ -119,9 +120,17 @@ def _gen_policy_step(
     battery_action = actions[N : N + 1] if batt else jnp.zeros_like(pv_shift)
 
     # ---- charger physics, both branches (core/physics.py semantics) ----
-    cap_eff = jnp.where(arrives, cap_col, c["prev_capcol"])
     soc_eff = jnp.where(arrives, soc_col_t, c["prev_col"])
-    safe_cap = jnp.where(cap_eff > 0, cap_eff, 1.0)
+    if diff_caps:
+        cap_eff = jnp.where(arrives, cap_col, c["prev_capcol"])
+        safe_cap = jnp.where(cap_eff > 0, cap_eff, 1.0)
+    else:
+        # occupied ⇒ capacity is exactly _DEFAULT_CAP; non-occupied lanes are
+        # masked out of power/new_col below, so both the scalar divisor and
+        # the occ_f-scaled cap_eff (used by the discharge clamp) are
+        # bit-identical to the select forms on every lane that flows out
+        cap_eff = cols["occ_f"] * 40.0
+        safe_cap = 40.0
     p_raw = charger_actions * (_MAX_P * _EFF)
     calc = soc_eff + (p_raw * dt) / safe_cap
     # discharge: inverted over-discharge flag quirk (charger.py:122-132)
@@ -141,7 +150,9 @@ def _gen_policy_step(
     total_discharging = jnp.sum(jnp.where(power < 0, power, 0.0), axis=0, keepdims=True)
 
     # ---- vehicle insufficiency penalty (trailing-observe mask; Q2 reads) ----
-    req_p = c["prev_reqcol"]
+    # without requested-SoC, the previous requested column ≡ the carried
+    # occupancy row (see pallas_gen_rollout._fresh_carry)
+    req_p = c["prev_reqcol"] if req_soc else c["present"]
     insufficient = c["prev_col"] < req_p - _MARGIN * req_p
     dgap = (req_p - c["prev_col"]) * _GAIN
     veh_pen = jnp.sum(jnp.where((pmask > 0) & insufficient, dgap * dgap, 0.0),
@@ -179,11 +190,13 @@ def _gen_policy_step(
     carry = {
         **gen,
         "prev_col": new_col,
-        "prev_capcol": cap_col,
-        "prev_reqcol": req_col,
         "prev_depcol": dep_col,
         "pmask": mask_col,
     }
+    if diff_caps:
+        carry["prev_capcol"] = cap_col
+    if req_soc:
+        carry["prev_reqcol"] = req_col
     return -total_cost, actions, carry, batt_soc
 
 
@@ -209,7 +222,7 @@ def _gen_policy_kernel(
     pv_shift = scal_ref[1:2, :]
 
     BB = scal_ref.shape[-1]
-    carry = _fresh_carry(N, BB)
+    carry = _fresh_carry(N, BB, step_kw["diff_caps"], step_kw["req_soc"])
     for t in range(T):
         u5 = tuple(u_ref[t * 5 + k] for k in range(5))
         reward, actions, carry, batt_soc = _gen_policy_step(
@@ -250,7 +263,7 @@ def _gen_policy_multiday_kernel(
         return pltpu.bitcast(bits >> 8, jnp.int32).astype(f32) * inv24
 
     draw_u5 = functools.partial(
-        _draw_step_uniforms, uniform, N=N, BB=BB, T=T,
+        _draw_step_uniforms, functools.partial(_uniform16_rows, N, BB), T=T,
         diff_caps=step_kw["diff_caps"], req_soc=step_kw["req_soc"],
         k4=step_kw["k4"], k1=step_kw["k1"],
     )
@@ -260,7 +273,7 @@ def _gen_policy_multiday_kernel(
         # reset(): fresh carries + new PV shift randint(0,181)/100; battery SoC
         # persists (central_management_system.py:93-94, SURVEY.md Q8)
         pv_shift = jnp.floor(uniform((1, BB)) * 181.0) / 100.0
-        carry = _fresh_carry(N, BB)
+        carry = _fresh_carry(N, BB, step_kw["diff_caps"], step_kw["req_soc"])
         day_return = jnp.zeros((1, BB), f32)
 
         for t in range(T):
@@ -440,7 +453,10 @@ def pallas_gen_policy_multiday(
 
     P = price.shape[1]
     S = rad_norm.shape[1]
-    BLOCK = _pick_block(batch)
+    # the MLP matmuls want the widest possible lane block: (64, k)x(k, BLOCK)
+    # keeps the MXU streaming (v5e, batch 4096: 1.82/2.24/2.31 B policy-steps/s
+    # at 1024/2048/4096 lanes)
+    BLOCK = _pick_block(batch, 4096)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
 
     (stats,) = pl.pallas_call(

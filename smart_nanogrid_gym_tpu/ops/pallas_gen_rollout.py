@@ -75,25 +75,35 @@ _SOC_LOW, _SOC_SPAN = 0.1, 0.8
 _CAP_LOW, _CAP_SPAN, _DEFAULT_CAP = 15.0, 105.0, 40.0
 
 
-def _fresh_carry(N, BB):
+def _fresh_carry(N, BB, diff_caps=True, req_soc=True):
     """Day-start recurrence state: all-zero generation + rollout carries
     (reset(), envs/smart_nanogrid_environment.py:311-351; the (t-1) mod L
-    reads hit the zero pad column at t=0 — SURVEY.md Q2)."""
+    reads hit the zero pad column at t=0 — SURVEY.md Q2).
+
+    With the static flags off, capacity/requested-SoC need no carry at all:
+    every occupied charger holds exactly ``_DEFAULT_CAP`` / requested-SoC 1.0
+    (charging_station.py:220-229 with the toggles off), so the per-step
+    columns collapse to ``occ_f * const`` and the previous requested column is
+    exactly the carried ``present`` row — dropping 4 lanes-wide selects per
+    step from both fused kernels."""
     zero_nb = jnp.zeros((N, BB), jnp.float32)
-    return {
+    carry = {
         # generation (charging_station.py:200-279)
         "present": zero_nb,   # occupied at the previous step (frees on departure)
         "dep": zero_nb,       # departure timestep of the current vehicle
-        "cap": zero_nb,
-        "req": zero_nb,
         # rollout (core/rollout.py): previously-written SoC column, previous
-        # capacity/requested/departure columns, trailing-observe penalty mask
+        # departure column, trailing-observe penalty mask
         "prev_col": zero_nb,
-        "prev_capcol": zero_nb,
-        "prev_reqcol": zero_nb,
         "prev_depcol": zero_nb,
         "pmask": zero_nb,
     }
+    if diff_caps:
+        carry["cap"] = zero_nb
+        carry["prev_capcol"] = zero_nb
+    if req_soc:
+        carry["req"] = zero_nb
+        carry["prev_reqcol"] = zero_nb
+    return carry
 
 
 def _generate_column(
@@ -114,15 +124,6 @@ def _generate_column(
 
     arrives = (c["present"] == 0.0) & (u_arr > _ARRIVAL_THRESHOLD)
     soc_t = _SOC_LOW + _SOC_SPAN * u_soc
-    if diff_caps:
-        cap_new = _CAP_LOW + jnp.floor(u_cap * _CAP_SPAN)
-    else:
-        cap_new = jnp.full_like(u_cap, _DEFAULT_CAP)
-    if req_soc:
-        soc_prime = jnp.minimum(soc_t + 0.1, 1.0)
-        req_new = soc_prime + (1.0 - soc_prime) * u_req
-    else:
-        req_new = jnp.ones_like(u_req)
 
     low_t = t + k4
     high_t = min(t + k10, T + k1)
@@ -133,13 +134,31 @@ def _generate_column(
 
     present = jnp.maximum(c["present"], arrives.astype(f32))
     dep = jnp.where(arrives, dep_new, c["dep"])
-    cap = jnp.where(arrives, cap_new, c["cap"])
-    req = jnp.where(arrives, req_new, c["req"])
     occupied = (present > 0.0) & (float(t) < dep)
-
     occ_f = occupied.astype(f32)
-    cap_col = jnp.where(occupied, cap, 0.0)
-    req_col = jnp.where(occupied, req, 0.0)
+
+    # carried as "present": a charger departed at t frees at t+1
+    gen = {"present": occ_f, "dep": dep}
+    if diff_caps:
+        cap_new = _CAP_LOW + jnp.floor(u_cap * _CAP_SPAN)
+        cap = jnp.where(arrives, cap_new, c["cap"])
+        cap_col = jnp.where(occupied, cap, 0.0)
+        gen["cap"] = cap
+    else:
+        # every vehicle holds the fixed 40 kWh (charging_station.py:220-222
+        # with the toggle off): occupied ⇒ cap == _DEFAULT_CAP exactly
+        cap_col = occ_f * _DEFAULT_CAP
+    if req_soc:
+        soc_prime = jnp.minimum(soc_t + 0.1, 1.0)
+        req_new = soc_prime + (1.0 - soc_prime) * u_req
+        req = jnp.where(arrives, req_new, c["req"])
+        req_col = jnp.where(occupied, req, 0.0)
+        gen["req"] = req
+    else:
+        # requested SoC is 1.0 for every vehicle (charging_station.py:227-229
+        # with the toggle off): the column is exactly the occupancy row
+        req_col = occ_f
+
     soc_col_t = jnp.where(arrives, soc_t, 0.0)
     dep_col = jnp.where(occupied, dep - float(t), 0.0)
     if penalty_mode == PenaltyMode.NO_PENALTY:
@@ -161,8 +180,6 @@ def _generate_column(
         "dep_col": dep_col,
         "mask_col": mask_col,
     }
-    # carried as "present": a charger departed at t frees at t+1
-    gen = {"present": occ_f, "dep": dep, "cap": cap, "req": req}
     return cols, gen
 
 
@@ -206,10 +223,16 @@ def _gen_rbc_step(
     actions = jnp.where(dep_o == 0.0, 0.0, jnp.where(soon, 1.0, fallback))
 
     # ---- charger physics, charge branch only (RBC actions >= 0) ----
-    cap_eff = jnp.where(arrives, cap_col, c["prev_capcol"])
     soc_eff = jnp.where(arrives, soc_col_t, c["prev_col"])
-    safe_cap = jnp.where(cap_eff > 0, cap_eff, 1.0)
     p_raw = actions * (_MAX_P * _EFF)
+    if diff_caps:
+        cap_eff = jnp.where(arrives, cap_col, c["prev_capcol"])
+        safe_cap = jnp.where(cap_eff > 0, cap_eff, 1.0)
+    else:
+        # occupied ⇒ capacity is exactly _DEFAULT_CAP; unoccupied lanes are
+        # masked out of new_col/power below, so the scalar divisor is
+        # bit-identical to the safe_cap select on every lane that flows out
+        safe_cap = _DEFAULT_CAP
     calc = soc_eff + (p_raw * dt) / safe_cap
     active = occupied & (actions > 0)
     power = jnp.where(active, p_raw, 0.0)
@@ -219,9 +242,12 @@ def _gen_rbc_step(
     total_charging = jnp.sum(power, axis=0, keepdims=True)  # (1, BB)
 
     # ---- vehicle insufficiency penalty (trailing-observe mask; Q2 reads) ----
-    lower = _MARGIN * c["prev_reqcol"]
-    insufficient = c["prev_col"] < c["prev_reqcol"] - lower
-    diff = (c["prev_reqcol"] - c["prev_col"]) * _GAIN
+    # without requested-SoC, the previous requested column ≡ the carried
+    # occupancy row (see _fresh_carry)
+    req_p = c["prev_reqcol"] if req_soc else c["present"]
+    lower = _MARGIN * req_p
+    insufficient = c["prev_col"] < req_p - lower
+    diff = (req_p - c["prev_col"]) * _GAIN
     veh_pen = jnp.sum(jnp.where((pmask > 0) & insufficient, diff * diff, 0.0),
                       axis=0, keepdims=True)
 
@@ -237,11 +263,13 @@ def _gen_rbc_step(
     carry = {
         **gen,
         "prev_col": new_col,
-        "prev_capcol": cap_col,
-        "prev_reqcol": req_col,
         "prev_depcol": dep_col,
         "pmask": mask_col,
     }
+    if diff_caps:
+        carry["prev_capcol"] = cap_col
+    if req_soc:
+        carry["prev_reqcol"] = req_col
     return -total_cost, carry
 
 
@@ -275,7 +303,7 @@ def _gen_rbc_kernel(
     dod_pen = _idle_battery_dod_penalty(batt, batt_soc)
 
     BB = scal_ref.shape[-1]
-    carry = _fresh_carry(N, BB)
+    carry = _fresh_carry(N, BB, step_kw["diff_caps"], step_kw["req_soc"])
     for t in range(T):
         u5 = tuple(u_ref[t * 5 + k] for k in range(5))
         reward, carry = _gen_rbc_step(
@@ -287,7 +315,7 @@ def _gen_rbc_kernel(
     soc_final_ref[:, :] = carry["prev_col"]
 
 
-def _draw_step_uniforms(uniform, t, *, N, BB, T, diff_caps, req_soc, k4, k1):
+def _draw_step_uniforms(draw_rows, t, *, T, diff_caps, req_soc, k4, k1):
     """Draw ONLY the uniform kinds the generation recurrence consumes at step t.
 
     The explicit-uniform kernels take the full 5-kind block (the
@@ -298,26 +326,52 @@ def _draw_step_uniforms(uniform, t, *, N, BB, T, diff_caps, req_soc, k4, k1):
     only with requested-SoC, and the departure draw hits the no-draw branch for
     every t with ``t + k4 >= T + k1`` (charging_station.py:271-279).  For the
     default bench config this trims 5N to 4N (3N late-day) draws per step.
-    ``_generate_column`` reads placeholder kinds only for their shape
-    (``full_like``/``ones_like``), so aliasing them to ``u_arr`` adds no ops.
+    ``_generate_column`` never reads the aliased placeholder kinds, so aliasing
+    them to ``u_arr`` adds no ops.
+
+    ``draw_rows(kinds)`` must return ``kinds`` independent uniform rows of
+    shape ``(N, BB)`` (see :func:`_uniform16_rows`).
     """
     need_dep = t + k4 < T + k1
     kinds = 2 + int(diff_caps) + int(req_soc) + int(need_dep)
-    u = uniform((kinds * N, BB))
-    u_arr, u_soc = u[0:N], u[N : 2 * N]
+    rows = draw_rows(kinds)
+    u_arr, u_soc = rows[0], rows[1]
     idx = 2
     if diff_caps:
-        u_cap = u[idx * N : (idx + 1) * N]
+        u_cap = rows[idx]
         idx += 1
     else:
         u_cap = u_arr
     if req_soc:
-        u_req = u[idx * N : (idx + 1) * N]
+        u_req = rows[idx]
         idx += 1
     else:
         u_req = u_arr
-    u_dep = u[idx * N : (idx + 1) * N] if need_dep else u_arr
+    u_dep = rows[idx] if need_dep else u_arr
     return u_arr, u_soc, u_cap, u_req, u_dep
+
+
+def _uniform16_rows(N, BB, kinds):
+    """``kinds`` uniform rows, two 16-bit draws per hardware PRNG word.
+
+    The multiday kernels are distribution-exact (not bit-pinned), and a 16-bit
+    uniform ``b * 2^-16`` is statistically indistinguishable at their <1%
+    contract: means/thresholds shift by O(2^-17) ≈ 8e-6 (the arrival test
+    ``u > 0.6`` flips probability by 1.5e-5).  Packing two draws per word
+    halves the random bits generated per step — the PRNG is a meaningful
+    slice of the issue-bound kernel's per-step budget.
+    """
+    f32 = jnp.float32
+    inv16 = f32(1.0 / (1 << 16))
+    words = (kinds + 1) // 2
+    bits = pltpu.bitcast(pltpu.prng_random_bits((words * N, BB)), jnp.uint32)
+    rows = []
+    for w in range(words):
+        word = bits[w * N : (w + 1) * N]
+        # mosaic can't cast uint32->f32; both halves fit in int32 after masking
+        rows.append(pltpu.bitcast(word & jnp.uint32(0xFFFF), jnp.int32).astype(f32) * inv16)
+        rows.append(pltpu.bitcast(word >> 16, jnp.int32).astype(f32) * inv16)
+    return rows[:kinds]
 
 
 def _gen_rbc_multiday_kernel(
@@ -349,7 +403,7 @@ def _gen_rbc_multiday_kernel(
         return pltpu.bitcast(bits >> 8, jnp.int32).astype(f32) * inv24
 
     draw_u5 = functools.partial(
-        _draw_step_uniforms, uniform, N=N, BB=BB, T=T,
+        _draw_step_uniforms, functools.partial(_uniform16_rows, N, BB), T=T,
         diff_caps=step_kw["diff_caps"], req_soc=step_kw["req_soc"],
         k4=step_kw["k4"], k1=step_kw["k1"],
     )
@@ -363,7 +417,7 @@ def _gen_rbc_multiday_kernel(
         # reset(): fresh carries + new PV shift randint(0,180)/100
         # (envs/smart_nanogrid_environment.py:311-351,349)
         pv_shift = jnp.floor(uniform((1, BB)) * 181.0) / 100.0
-        carry = _fresh_carry(N, BB)
+        carry = _fresh_carry(N, BB, step_kw["diff_caps"], step_kw["req_soc"])
         day_return = jnp.zeros((1, BB), f32)
 
         for t in range(T):
@@ -511,7 +565,10 @@ def pallas_gen_rbc_multiday(
 
     P = price.shape[1]
     S = rad_norm.shape[1]
-    BLOCK = _pick_block(batch)
+    # wide lane blocks amortize instruction issue; with the slimmed carries the
+    # kernel is width-insensitive past 2048 on v5e (6.80/6.81/6.82 B steps/s at
+    # 1024/2048/4096 lanes, batch 4096) — take the widest block that divides
+    BLOCK = _pick_block(batch, 4096)
     (stats,) = pl.pallas_call(
         kernel,
         grid=(batch // BLOCK,),
