@@ -111,9 +111,15 @@ def _gen_policy_step(
     ).astype(f32)
 
     # ---- MLP actor on the MXU: clip(W3ᵀ tanh(W2ᵀ tanh(W1ᵀ obs + b1) + b2) + b3) ----
-    h1 = jnp.tanh(jnp.dot(w1_ref[:, :], obs, preferred_element_type=f32) + b1_ref[:, :])
-    h2 = jnp.tanh(jnp.dot(w2_ref[:, :], h1, preferred_element_type=f32) + b2_ref[:, :])
-    mean = jnp.dot(w3_ref[:, :], h2, preferred_element_type=f32) + b3_ref[:, :]
+    # The weight blocks' dtype selects the MXU mode: f32 (bit-pinned explicit
+    # kernel) or bf16 inputs with f32 accumulation (multiday fast path — one
+    # MXU pass instead of the 3-pass f32 emulation; biases/activations stay
+    # f32, so only the matmul operands are rounded).
+    w1, w2, w3 = w1_ref[:, :], w2_ref[:, :], w3_ref[:, :]
+    mxu = w1.dtype
+    h1 = jnp.tanh(jnp.dot(w1, obs.astype(mxu), preferred_element_type=f32) + b1_ref[:, :])
+    h2 = jnp.tanh(jnp.dot(w2, h1.astype(mxu), preferred_element_type=f32) + b2_ref[:, :])
+    mean = jnp.dot(w3, h2.astype(mxu), preferred_element_type=f32) + b3_ref[:, :]
     actions = jnp.clip(mean, low_ref[:, :], high_ref[:, :])  # (A, BB)
 
     charger_actions = actions[:N]
@@ -299,15 +305,16 @@ def _gen_policy_multiday_kernel(
     stats_ref[3:8, :] = jnp.zeros((5, BB), jnp.float32)
 
 
-def _actor_blocks(config: NanogridConfig, net_params):
+def _actor_blocks(config: NanogridConfig, net_params, mlp_dtype=jnp.float32):
     """Extract the pi torso of solvers.networks.ActorCritic, transposed for
-    envs-on-lanes matmuls, plus the action bounds."""
+    envs-on-lanes matmuls, plus the action bounds.  ``mlp_dtype`` sets the
+    weight (= MXU operand) dtype; biases stay f32 (f32 accumulation)."""
     pi = net_params["params"]["pi"]
-    w1 = pi["Dense_0"]["kernel"].T.astype(jnp.float32)
+    w1 = pi["Dense_0"]["kernel"].T.astype(mlp_dtype)
     b1 = pi["Dense_0"]["bias"].reshape(-1, 1).astype(jnp.float32)
-    w2 = pi["Dense_1"]["kernel"].T.astype(jnp.float32)
+    w2 = pi["Dense_1"]["kernel"].T.astype(mlp_dtype)
     b2 = pi["Dense_1"]["bias"].reshape(-1, 1).astype(jnp.float32)
-    w3 = pi["Dense_2"]["kernel"].T.astype(jnp.float32)
+    w3 = pi["Dense_2"]["kernel"].T.astype(mlp_dtype)
     b3 = pi["Dense_2"]["bias"].reshape(-1, 1).astype(jnp.float32)
     low, high = config.action_bounds()
     low_arr = jnp.asarray(low, jnp.float32).reshape(-1, 1)
@@ -419,6 +426,7 @@ def pallas_gen_policy_multiday(
     batch: int,
     interpret: bool = False,
     check_params: bool = True,
+    mlp_dtype=jnp.float32,
 ):
     """Run ``num_days`` fresh generated days × ``batch`` envs of the
     deterministic MLP actor closed-loop in ONE kernel launch.
@@ -429,6 +437,14 @@ def pallas_gen_policy_multiday(
     The in-kernel PRNG is per (seed, env-block); the step body is pinned
     bit-compatible against the XLA engine by :func:`pallas_gen_policy_day`
     (tests/test_pallas.py).  Requires a real TPU.
+
+    ``mlp_dtype``: operand dtype of the actor matmuls.  ``jnp.bfloat16``
+    (f32 accumulation) runs the MXU in its native one-pass mode and keeps
+    day-return statistics within 0.5% of f32 (tests/test_tpu_kernels.py), but
+    on v5e at this MLP size the kernel is NOT MXU-bound and the extra
+    activation casts make it a net loss (measured 2.19 vs 2.27 B steps/s at
+    batch 4096) — so exact f32 operands are the default.  The option matters
+    for larger actor networks, where the matmuls dominate.
     """
     if check_params:  # callers may pre-check eagerly and pass traced params
         check_baked_params(config, params, "pallas_gen_policy_multiday",
@@ -442,7 +458,7 @@ def pallas_gen_policy_multiday(
 
     price, price_norm, rad_norm, solar = _full_traces(params)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
-    weights = _actor_blocks(config, net_params)
+    weights = _actor_blocks(config, net_params, mlp_dtype=mlp_dtype)
 
     kw = _policy_step_kwargs(config)
     batt = kw.pop("batt")

@@ -140,3 +140,35 @@ def test_policy_multiday_kernel_matches_xla_engine_statistics():
 
     assert abs(mean_k - mean_x) / abs(mean_x) < 0.01, (mean_k, mean_x)
     assert abs(std_k - std_x) / abs(std_x) < 0.03, (std_k, std_x)
+
+
+def test_policy_multiday_bf16_matmuls_match_f32_statistics():
+    """The multiday kernel's optional bf16 MXU operands (f32 accumulation) may
+    round individual actions by ~2^-8 but must not move the day-return
+    distribution: same seed, same kernel, operand dtype the only difference."""
+    from smart_nanogrid_gym_tpu.ops.pallas_gen_policy_rollout import (
+        pallas_gen_policy_multiday)
+    from smart_nanogrid_gym_tpu.solvers.networks import ActorCritic
+
+    config = _config()
+    with jax.default_device(_TPUS[0]):
+        params = make_params(config, dtype=jnp.float32)
+        net = ActorCritic(action_dim=config.num_actions)
+        net_params = net.init(jax.random.PRNGKey(42), jnp.zeros((1, config.obs_dim)))
+        net_params = jax.tree.map(
+            lambda x: x + 0.05 if x.ndim == 1 else x, net_params
+        )
+
+        stats = {}
+        for dtype in (jnp.bfloat16, jnp.float32):
+            run = jax.jit(functools.partial(
+                pallas_gen_policy_multiday, config, params, net_params,
+                KERNEL_DAYS, batch=BATCH, mlp_dtype=dtype,
+            ))
+            stats[dtype.__name__] = _kernel_stats(
+                jax.block_until_ready(run(0)), KERNEL_DAYS)
+
+    mean_b, std_b = stats["bfloat16"]
+    mean_f, std_f = stats["float32"]
+    assert abs(mean_b - mean_f) / abs(mean_f) < 0.005, stats
+    assert abs(std_b - std_f) / abs(std_f) < 0.02, stats
