@@ -62,15 +62,18 @@ _W_BATT, _W_VEH, _GRID_W, _SELL = 0.8, 1.0, 0.75, 0.8
 
 def _gen_policy_step(
     t, u5, c, batt_soc,
-    price_ref, price_norm_ref, rad_norm_ref, solar_ref, pv_shift,
+    price_norm_ref, rad_norm_ref, pv_shift,
     w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, low_ref, high_ref,
     *, T, N, dt, pv, batt, penalty_mode, diff_caps, req_soc, k4, k10, k1,
 ):
     """One timestep: generate schedule column t, run the MLP actor on the
     step-(t-1) observation (envs/smart_nanogrid_environment.py:173-174 timing),
-    apply full charger/BESS/grid physics.
+    apply full charger/BESS physics.
 
-    Returns ``(reward_row (1, BB), actions (A, BB), carry, batt_soc_new)``.
+    Returns ``(rows, actions (A, BB), carry, batt_soc_new)`` where ``rows``
+    holds the (1, BB) per-step inputs of the grid/cost arithmetic — that part
+    has no cross-step dependency, so the kernels batch it over all T steps at
+    once (:func:`_policy_day_rewards`), using every sublane instead of 1 of 8.
     """
     f32 = jnp.float32
     cols, gen = _generate_column(
@@ -164,10 +167,8 @@ def _gen_policy_step(
     veh_pen = jnp.sum(jnp.where((pmask > 0) & insufficient, dgap * dgap, 0.0),
                       axis=0, keepdims=True)
 
-    # ---- energy balance + bidirectional BESS ----
-    solar = (solar_ref[0, t] * pv_shift) if pv else jnp.zeros_like(pv_shift)
-    remaining = total_charging + total_discharging - solar
-
+    # ---- bidirectional BESS (sequential through batt_soc) ----
+    flows = total_charging + total_discharging
     if batt:
         p_calc = battery_action * (_B_MAXP * _B_EFF)
         b_calc = batt_soc + (p_calc * dt) / _B_CAP
@@ -180,18 +181,11 @@ def _gen_policy_step(
             jnp.where(b_neg, jnp.maximum(b_calc, 0.0), batt_soc),
         )
         p_used = jnp.where(b_pos, p_calc, jnp.where(b_neg, p_b_dis, 0.0))
-        grid_power = remaining + p_used
         dod_gap = (_B_DOD - batt_soc) * _GAIN
         dod_pen = jnp.where(batt_soc < _B_DOD, dod_gap * dod_gap, 0.0)
     else:
-        grid_power = remaining
-        dod_pen = jnp.zeros_like(veh_pen)
-
-    grid_energy = grid_power * dt
-    price_t = price_ref[0, t]
-    g_cost = jnp.where(grid_energy < 0, grid_energy * (_SELL * price_t),
-                       grid_energy * price_t)
-    total_cost = _GRID_W * jnp.abs(g_cost) + _W_BATT * dod_pen + _W_VEH * veh_pen
+        p_used = None
+        dod_pen = None
 
     carry = {
         **gen,
@@ -203,11 +197,48 @@ def _gen_policy_step(
         carry["prev_capcol"] = cap_col
     if req_soc:
         carry["prev_reqcol"] = req_col
-    return -total_cost, actions, carry, batt_soc
+    rows = {"flows": flows, "p_used": p_used, "dod": dod_pen, "pen": veh_pen}
+    return rows, actions, carry, batt_soc
+
+
+def _policy_day_rewards(rows, price_col, solar_col, pv_shift, *, dt, pv, batt):
+    """Grid energy + cost + reward for a whole policy day at once
+    (central_management_system.py:105-113, accountant.py:26-36): the grid/cost
+    arithmetic has no cross-step dependency, so it runs over all T sublanes at
+    once.  Elementwise arithmetic (and op order) is identical to the former
+    per-step form — every (t, env) value is bit-equal.
+
+    ``rows``: dict of per-step (1, BB) rows stacked to (T, BB) by the caller
+    (keys ``flows``, ``p_used``/``dod`` when battery is on, ``pen``)."""
+    if pv:
+        remaining = rows["flows"] - solar_col * pv_shift
+    else:
+        remaining = rows["flows"]
+    if batt:
+        grid_power = remaining + rows["p_used"]
+        batt_pen = rows["dod"]
+    else:
+        grid_power = remaining
+        batt_pen = 0.0
+    grid_energy = grid_power * dt
+    g_cost = jnp.where(grid_energy < 0, grid_energy * (_SELL * price_col),
+                       grid_energy * price_col)
+    total_cost = (_GRID_W * jnp.abs(g_cost) + _W_BATT * batt_pen
+                  + _W_VEH * rows["pen"])
+    return -total_cost
+
+
+def _stack_rows(rows_list):
+    """Stack per-step (1, BB) row dicts into (T, BB) arrays (None keys drop)."""
+    return {
+        k: jnp.concatenate([r[k] for r in rows_list], axis=0)
+        for k in rows_list[0]
+        if rows_list[0][k] is not None
+    }
 
 
 def _gen_policy_kernel(
-    price_ref, price_norm_ref, rad_norm_ref, solar_ref,
+    price_col_ref, price_norm_ref, rad_norm_ref, solar_col_ref,
     # uniform block (T*5, N, BB): row t*5+k = draw-kind k at timestep t
     u_ref,
     # per-env scalar rows (8, BB): 0=batt_soc 1=pv_shift
@@ -229,23 +260,28 @@ def _gen_policy_kernel(
 
     BB = scal_ref.shape[-1]
     carry = _fresh_carry(N, BB, step_kw["diff_caps"], step_kw["req_soc"])
+    step_rows = []
     for t in range(T):
         u5 = tuple(u_ref[t * 5 + k] for k in range(5))
-        reward, actions, carry, batt_soc = _gen_policy_step(
+        rows, actions, carry, batt_soc = _gen_policy_step(
             t, u5, carry, batt_soc,
-            price_ref, price_norm_ref, rad_norm_ref, solar_ref, pv_shift,
+            price_norm_ref, rad_norm_ref, pv_shift,
             w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, low_ref, high_ref,
             T=T, N=N, **step_kw,
         )
-        rew_ref[t, :] = reward[0]
+        step_rows.append(rows)
         act_ref[t] = actions
 
+    rew_ref[:, :] = _policy_day_rewards(
+        _stack_rows(step_rows), price_col_ref[:, :], solar_col_ref[:, :],
+        pv_shift, dt=step_kw["dt"], pv=step_kw["pv"], batt=step_kw["batt"],
+    )
     soc_final_ref[:, :] = carry["prev_col"]
     batt_final_ref[:, :] = batt_soc
 
 
 def _gen_policy_multiday_kernel(
-    price_ref, price_norm_ref, rad_norm_ref, solar_ref,
+    price_col_ref, price_norm_ref, rad_norm_ref, solar_col_ref,
     seed_ref,  # SMEM (1, 1) int32
     w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, low_ref, high_ref,
     stats_ref,  # (8, BB): 0=Σ rewards, 1=Σ (day return)², 2=final batt SoC
@@ -280,17 +316,22 @@ def _gen_policy_multiday_kernel(
         # persists (central_management_system.py:93-94, SURVEY.md Q8)
         pv_shift = jnp.floor(uniform((1, BB)) * 181.0) / 100.0
         carry = _fresh_carry(N, BB, step_kw["diff_caps"], step_kw["req_soc"])
-        day_return = jnp.zeros((1, BB), f32)
 
+        step_rows = []
         for t in range(T):
-            reward, _, carry, batt_soc = _gen_policy_step(
+            rows, _, carry, batt_soc = _gen_policy_step(
                 t, draw_u5(t), carry, batt_soc,
-                price_ref, price_norm_ref, rad_norm_ref, solar_ref, pv_shift,
+                price_norm_ref, rad_norm_ref, pv_shift,
                 w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, low_ref, high_ref,
                 T=T, N=N, batt=batt, **step_kw,
             )
-            day_return = day_return + reward
+            step_rows.append(rows)
 
+        rewards = _policy_day_rewards(
+            _stack_rows(step_rows), price_col_ref[:, :], solar_col_ref[:, :],
+            pv_shift, dt=step_kw["dt"], pv=step_kw["pv"], batt=batt,
+        )
+        day_return = jnp.sum(rewards, axis=0, keepdims=True)
         return (rew_total + day_return, sq_total + day_return * day_return, batt_soc)
 
     zero_row = jnp.zeros((1, BB), f32)
@@ -370,6 +411,8 @@ def pallas_gen_policy_day(
     assert uniforms.shape == (T, 5, N, B), uniforms.shape
 
     price, price_norm, rad_norm, solar = _full_traces(params)
+    price_col = price[0, :T].reshape(T, 1)
+    solar_col = solar[0, :T].reshape(T, 1)
 
     scal = jnp.zeros((8, B), jnp.float32)
     if batt_soc is None:
@@ -396,7 +439,7 @@ def pallas_gen_policy_day(
         kernel,
         grid=(B // LANES,),
         in_specs=[
-            full((1, P)), full((1, P)), full((1, S)), full((1, S)),
+            full((T, 1)), full((1, P)), full((1, S)), full((T, 1)),
             pl.BlockSpec((T * 5, N, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             env_block(8),
         ] + [full(w.shape) for w in weights],
@@ -413,7 +456,7 @@ def pallas_gen_policy_day(
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ],
         interpret=interpret,
-    )(price, price_norm, rad_norm, solar, u, scal, *weights)
+    )(price_col, price_norm, rad_norm, solar_col, u, scal, *weights)
     return rewards, actions, soc_final, batt_final[0]
 
 
@@ -457,6 +500,8 @@ def pallas_gen_policy_multiday(
     assert batch % LANES == 0, f"batch {batch} must be divisible by {LANES}"
 
     price, price_norm, rad_norm, solar = _full_traces(params)
+    price_col = price[0, :T].reshape(T, 1)
+    solar_col = solar[0, :T].reshape(T, 1)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     weights = _actor_blocks(config, net_params, mlp_dtype=mlp_dtype)
 
@@ -479,7 +524,7 @@ def pallas_gen_policy_multiday(
         kernel,
         grid=(batch // BLOCK,),
         in_specs=[
-            full((1, P)), full((1, P)), full((1, S)), full((1, S)),
+            full((T, 1)), full((1, P)), full((1, S)), full((T, 1)),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ] + [full(w.shape) for w in weights],
         out_specs=[
@@ -487,5 +532,5 @@ def pallas_gen_policy_multiday(
         ],
         out_shape=[jax.ShapeDtypeStruct((8, batch), jnp.float32)],
         interpret=interpret,
-    )(price, price_norm, rad_norm, solar, seed_arr, *weights)
+    )(price_col, price_norm, rad_norm, solar_col, seed_arr, *weights)
     return stats

@@ -184,14 +184,17 @@ def _generate_column(
 
 
 def _gen_rbc_step(
-    t, u5, c, price_ref, rad_norm_ref, solar_ref, pv_shift, dod_pen,
+    t, u5, c, rad_norm_ref, pv_shift,
     *, T, dt, pv, penalty_mode, diff_caps, req_soc, k4, k10, k1,
 ):
     """One timestep: generate schedule column t, run the RBC policy on the
-    step-(t-1) observation, apply charger physics + penalties + grid cost.
+    step-(t-1) observation, apply charger physics + the penalty reduction.
 
     ``u5``: the 5 uniform draws at t, each ``(N, BB)``.  ``c``: carry dict from
-    :func:`_fresh_carry`.  Returns ``(reward_row (1, BB), carry)``.
+    :func:`_fresh_carry`.  Returns ``(charging_row (1, BB), pen_row (1, BB),
+    carry)`` — the grid/cost arithmetic has no cross-step dependency, so the
+    kernels batch it over all T steps at once (:func:`_day_rewards`), using
+    every sublane instead of 1 of 8 per step.
     """
     f32 = jnp.float32
     cols, gen = _generate_column(
@@ -251,15 +254,6 @@ def _gen_rbc_step(
     veh_pen = jnp.sum(jnp.where((pmask > 0) & insufficient, diff * diff, 0.0),
                       axis=0, keepdims=True)
 
-    # ---- grid + cost (accountant.py:26-36) ----
-    solar = (solar_ref[0, t] * pv_shift) if pv else jnp.zeros_like(pv_shift)
-    grid_power = total_charging - solar
-    grid_energy = grid_power * dt
-    price_t = price_ref[0, t]
-    g_cost = jnp.where(grid_energy < 0, grid_energy * (_SELL * price_t),
-                       grid_energy * price_t)
-    total_cost = _GRID_W * jnp.abs(g_cost) + _W_BATT * dod_pen + _W_VEH * veh_pen
-
     carry = {
         **gen,
         "prev_col": new_col,
@@ -270,7 +264,28 @@ def _gen_rbc_step(
         carry["prev_capcol"] = cap_col
     if req_soc:
         carry["prev_reqcol"] = req_col
-    return -total_cost, carry
+    return total_charging, veh_pen, carry
+
+
+def _day_rewards(charging, veh_pen, price_col, solar_col, pv_shift, dod_pen,
+                 *, dt, pv):
+    """Grid energy + cost + reward for a whole day at once (accountant.py:26-36).
+
+    ``charging``/``veh_pen``: (T, BB) per-step rows stacked over sublanes;
+    ``price_col``/``solar_col``: (T, 1) per-timestep scalars.  Elementwise
+    arithmetic is identical to the former per-step form — each (t, env) value
+    is bit-equal — only the instruction shape changes (T sublanes at a time
+    instead of 1)."""
+    if pv:
+        solar = solar_col * pv_shift
+        grid_power = charging - solar
+    else:
+        grid_power = charging
+    grid_energy = grid_power * dt
+    g_cost = jnp.where(grid_energy < 0, grid_energy * (_SELL * price_col),
+                       grid_energy * price_col)
+    total_cost = _GRID_W * jnp.abs(g_cost) + _W_BATT * dod_pen + _W_VEH * veh_pen
+    return -total_cost
 
 
 def _idle_battery_dod_penalty(batt, batt_soc):
@@ -283,8 +298,8 @@ def _idle_battery_dod_penalty(batt, batt_soc):
 
 
 def _gen_rbc_kernel(
-    # scalar traces, full (1, P)/(1, S) blocks
-    price_ref, rad_norm_ref, solar_ref,
+    # per-timestep scalar columns (T, 1); radiation trace full (1, S)
+    price_col_ref, rad_norm_ref, solar_col_ref,
     # uniform block (T*5, N, BB): row t*5+k = draw-kind k at timestep t
     u_ref,
     # per-env scalar rows (8, BB): 0=batt_soc 1=pv_shift
@@ -304,14 +319,20 @@ def _gen_rbc_kernel(
 
     BB = scal_ref.shape[-1]
     carry = _fresh_carry(N, BB, step_kw["diff_caps"], step_kw["req_soc"])
+    charging_rows, pen_rows = [], []
     for t in range(T):
         u5 = tuple(u_ref[t * 5 + k] for k in range(5))
-        reward, carry = _gen_rbc_step(
-            t, u5, carry, price_ref, rad_norm_ref, solar_ref, pv_shift, dod_pen,
-            T=T, **step_kw,
+        charging, pen, carry = _gen_rbc_step(
+            t, u5, carry, rad_norm_ref, pv_shift, T=T, **step_kw,
         )
-        rew_ref[t, :] = reward[0]
+        charging_rows.append(charging)
+        pen_rows.append(pen)
 
+    rew_ref[:, :] = _day_rewards(
+        jnp.concatenate(charging_rows, axis=0), jnp.concatenate(pen_rows, axis=0),
+        price_col_ref[:, :], solar_col_ref[:, :], pv_shift, dod_pen,
+        dt=step_kw["dt"], pv=step_kw["pv"],
+    )
     soc_final_ref[:, :] = carry["prev_col"]
 
 
@@ -375,7 +396,7 @@ def _uniform16_rows(N, BB, kinds):
 
 
 def _gen_rbc_multiday_kernel(
-    price_ref, rad_norm_ref, solar_ref,
+    price_col_ref, rad_norm_ref, solar_col_ref,
     # seed, SMEM (1, 1) int32
     seed_ref,
     # outputs
@@ -418,15 +439,22 @@ def _gen_rbc_multiday_kernel(
         # (envs/smart_nanogrid_environment.py:311-351,349)
         pv_shift = jnp.floor(uniform((1, BB)) * 181.0) / 100.0
         carry = _fresh_carry(N, BB, step_kw["diff_caps"], step_kw["req_soc"])
-        day_return = jnp.zeros((1, BB), f32)
 
+        charging_rows, pen_rows = [], []
         for t in range(T):
-            reward, carry = _gen_rbc_step(
-                t, draw_u5(t), carry, price_ref, rad_norm_ref, solar_ref,
-                pv_shift, dod_pen, T=T, **step_kw,
+            charging, pen, carry = _gen_rbc_step(
+                t, draw_u5(t), carry, rad_norm_ref, pv_shift, T=T, **step_kw,
             )
-            day_return = day_return + reward
+            charging_rows.append(charging)
+            pen_rows.append(pen)
 
+        rewards = _day_rewards(
+            jnp.concatenate(charging_rows, axis=0),
+            jnp.concatenate(pen_rows, axis=0),
+            price_col_ref[:, :], solar_col_ref[:, :], pv_shift, dod_pen,
+            dt=step_kw["dt"], pv=step_kw["pv"],
+        )
+        day_return = jnp.sum(rewards, axis=0, keepdims=True)
         return (rew_total + day_return, sq_total + day_return * day_return)
 
     zero_row = jnp.zeros((1, BB), f32)
@@ -485,6 +513,8 @@ def pallas_gen_rbc_day(
     assert uniforms.shape == (T, 5, N, B), uniforms.shape
 
     price, rad_norm, solar = _traces(params)
+    price_col = price[0, :T].reshape(T, 1)
+    solar_col = solar[0, :T].reshape(T, 1)
 
     scal = jnp.zeros((8, B), jnp.float32)
     if batt_soc is None:
@@ -501,15 +531,14 @@ def pallas_gen_rbc_day(
         T=T, N=N, batt=config.battery_system, **_step_kwargs(config),
     )
 
-    P = price.shape[1]
     S = rad_norm.shape[1]
     rewards, soc_final = pl.pallas_call(
         kernel,
         grid=(B // LANES,),
         in_specs=[
-            pl.BlockSpec((1, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T * 5, N, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
@@ -522,7 +551,7 @@ def pallas_gen_rbc_day(
             jax.ShapeDtypeStruct((N, B), jnp.float32),
         ],
         interpret=interpret,
-    )(price, rad_norm, solar, u, scal)
+    )(price_col, rad_norm, solar_col, u, scal)
     return rewards, soc_final
 
 
@@ -555,6 +584,8 @@ def pallas_gen_rbc_multiday(
     assert batch % LANES == 0, f"batch {batch} must be divisible by {LANES}"
 
     price, rad_norm, solar = _traces(params)
+    price_col = price[0, :T].reshape(T, 1)
+    solar_col = solar[0, :T].reshape(T, 1)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
     kernel = functools.partial(
@@ -563,7 +594,6 @@ def pallas_gen_rbc_multiday(
         **_step_kwargs(config),
     )
 
-    P = price.shape[1]
     S = rad_norm.shape[1]
     # wide lane blocks amortize instruction issue; with the slimmed carries the
     # kernel is width-insensitive past 2048 on v5e (6.80/6.81/6.82 B steps/s at
@@ -573,9 +603,9 @@ def pallas_gen_rbc_multiday(
         kernel,
         grid=(batch // BLOCK,),
         in_specs=[
-            pl.BlockSpec((1, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -583,5 +613,5 @@ def pallas_gen_rbc_multiday(
         ],
         out_shape=[jax.ShapeDtypeStruct((8, batch), jnp.float32)],
         interpret=interpret,
-    )(price, rad_norm, solar, seed_arr)
+    )(price_col, rad_norm, solar_col, seed_arr)
     return stats
