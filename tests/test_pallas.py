@@ -50,10 +50,13 @@ def test_pallas_kernel_matches_fused(config):
         NanogridConfig(num_chargers=8, pv_system=True, battery_system=True),
         NanogridConfig(num_chargers=8, pv_system=True, battery_system=True,
                        different_battery_capacities=False, requested_state_of_charge=True),
+        # both specializations at once (no cap/req carries at all)
+        NanogridConfig(num_chargers=8, pv_system=True, battery_system=True,
+                       different_battery_capacities=False),
         NanogridConfig(num_chargers=4, pv_system=False, battery_system=False,
                        penalty_mode="on_departure"),
     ],
-    ids=["b-pv-sparse", "b-pv-reqsoc", "basic-ondep"],
+    ids=["b-pv-sparse", "b-pv-reqsoc", "b-pv-fixedcap", "basic-ondep"],
 )
 def test_pallas_gen_kernel_matches_fused(config):
     """Fused generation+RBC kernel vs generate_schedule(uniforms=·) + fused XLA
