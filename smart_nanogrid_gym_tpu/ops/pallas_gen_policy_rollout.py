@@ -65,6 +65,7 @@ def _gen_policy_step(
     price_norm_ref, rad_norm_ref, pv_shift,
     w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, low_ref, high_ref,
     *, T, N, dt, pv, batt, penalty_mode, diff_caps, req_soc, k4, k10, k1,
+    actor="ppo",
 ):
     """One timestep: generate schedule column t, run the MLP actor on the
     step-(t-1) observation (envs/smart_nanogrid_environment.py:173-174 timing),
@@ -113,17 +114,29 @@ def _gen_policy_step(
         rows + [soc_rows, dep_o / 24.0] + ([batt_soc] if batt else []), axis=0
     ).astype(f32)
 
-    # ---- MLP actor on the MXU: clip(W3ᵀ tanh(W2ᵀ tanh(W1ᵀ obs + b1) + b2) + b3) ----
+    # ---- MLP actor on the MXU ----
     # The weight blocks' dtype selects the MXU mode: f32 (bit-pinned explicit
-    # kernel) or bf16 inputs with f32 accumulation (multiday fast path — one
-    # MXU pass instead of the 3-pass f32 emulation; biases/activations stay
-    # f32, so only the matmul operands are rounded).
+    # kernel) or bf16 inputs with f32 accumulation (one MXU pass instead of
+    # the 3-pass f32 emulation; biases/activations stay f32, so only the
+    # matmul operands are rounded).  ``actor`` selects the SB3-default
+    # architecture (solvers/networks.py): PPO MlpPolicy (64-64 tanh torso,
+    # mean clipped to the action box) or DDPG MlpPolicy (400-300 relu torso,
+    # tanh squashed/affine-mapped into the box).
     w1, w2, w3 = w1_ref[:, :], w2_ref[:, :], w3_ref[:, :]
     mxu = w1.dtype
-    h1 = jnp.tanh(jnp.dot(w1, obs.astype(mxu), preferred_element_type=f32) + b1_ref[:, :])
-    h2 = jnp.tanh(jnp.dot(w2, h1.astype(mxu), preferred_element_type=f32) + b2_ref[:, :])
-    mean = jnp.dot(w3, h2.astype(mxu), preferred_element_type=f32) + b3_ref[:, :]
-    actions = jnp.clip(mean, low_ref[:, :], high_ref[:, :])  # (A, BB)
+    z1 = jnp.dot(w1, obs.astype(mxu), preferred_element_type=f32) + b1_ref[:, :]
+    if actor == "ppo":
+        h1 = jnp.tanh(z1)
+        h2 = jnp.tanh(jnp.dot(w2, h1.astype(mxu), preferred_element_type=f32) + b2_ref[:, :])
+        mean = jnp.dot(w3, h2.astype(mxu), preferred_element_type=f32) + b3_ref[:, :]
+        actions = jnp.clip(mean, low_ref[:, :], high_ref[:, :])  # (A, BB)
+    else:  # ddpg
+        h1 = jax.nn.relu(z1)
+        h2 = jax.nn.relu(jnp.dot(w2, h1.astype(mxu), preferred_element_type=f32) + b2_ref[:, :])
+        mu = jnp.dot(w3, h2.astype(mxu), preferred_element_type=f32) + b3_ref[:, :]
+        squashed = jnp.tanh(mu)
+        low, high = low_ref[:, :], high_ref[:, :]
+        actions = low + (squashed + 1.0) * 0.5 * (high - low)  # (A, BB)
 
     charger_actions = actions[:N]
     battery_action = actions[N : N + 1] if batt else jnp.zeros_like(pv_shift)
@@ -346,17 +359,19 @@ def _gen_policy_multiday_kernel(
     stats_ref[3:8, :] = jnp.zeros((5, BB), jnp.float32)
 
 
-def _actor_blocks(config: NanogridConfig, net_params, mlp_dtype=jnp.float32):
-    """Extract the pi torso of solvers.networks.ActorCritic, transposed for
+def _actor_blocks(config: NanogridConfig, net_params, mlp_dtype=jnp.float32,
+                  actor="ppo"):
+    """Extract the actor torso (``pi`` of solvers.networks.ActorCritic for
+    PPO, ``mu`` of solvers.networks.DDPGActor for DDPG), transposed for
     envs-on-lanes matmuls, plus the action bounds.  ``mlp_dtype`` sets the
     weight (= MXU operand) dtype; biases stay f32 (f32 accumulation)."""
-    pi = net_params["params"]["pi"]
-    w1 = pi["Dense_0"]["kernel"].T.astype(mlp_dtype)
-    b1 = pi["Dense_0"]["bias"].reshape(-1, 1).astype(jnp.float32)
-    w2 = pi["Dense_1"]["kernel"].T.astype(mlp_dtype)
-    b2 = pi["Dense_1"]["bias"].reshape(-1, 1).astype(jnp.float32)
-    w3 = pi["Dense_2"]["kernel"].T.astype(mlp_dtype)
-    b3 = pi["Dense_2"]["bias"].reshape(-1, 1).astype(jnp.float32)
+    torso = net_params["params"]["pi" if actor == "ppo" else "mu"]
+    w1 = torso["Dense_0"]["kernel"].T.astype(mlp_dtype)
+    b1 = torso["Dense_0"]["bias"].reshape(-1, 1).astype(jnp.float32)
+    w2 = torso["Dense_1"]["kernel"].T.astype(mlp_dtype)
+    b2 = torso["Dense_1"]["bias"].reshape(-1, 1).astype(jnp.float32)
+    w3 = torso["Dense_2"]["kernel"].T.astype(mlp_dtype)
+    b3 = torso["Dense_2"]["bias"].reshape(-1, 1).astype(jnp.float32)
     low, high = config.action_bounds()
     low_arr = jnp.asarray(low, jnp.float32).reshape(-1, 1)
     high_arr = jnp.asarray(high, jnp.float32).reshape(-1, 1)
@@ -387,12 +402,14 @@ def pallas_gen_policy_day(
     pv_shift: jnp.ndarray,
     batt_soc: jnp.ndarray | None = None,
     interpret: bool = False,
+    actor: str = "ppo",
 ):
     """Generate a fresh day AND roll the deterministic MLP actor over it in one
     kernel.
 
     ``uniforms``: ``(T, 5, N, B)`` f32 block (the ``generate_schedule(uniforms=·)``
-    contract).  ``net_params``: flax params of solvers.networks.ActorCritic.
+    contract).  ``net_params``: flax params of solvers.networks.ActorCritic
+    (``actor="ppo"``) or solvers.networks.DDPGActor (``actor="ddpg"``).
     Returns ``(rewards (T, B), actions (T, A, B), soc_final (N, B),
     batt_final (B,))``.
 
@@ -424,10 +441,10 @@ def pallas_gen_policy_day(
     scal = scal.at[1].set(pv_shift.astype(jnp.float32))
 
     u = uniforms.reshape(T * 5, N, B).astype(jnp.float32)
-    weights = _actor_blocks(config, net_params)
+    weights = _actor_blocks(config, net_params, actor=actor)
 
     kernel = functools.partial(
-        _gen_policy_kernel, T=T, **_policy_step_kwargs(config)
+        _gen_policy_kernel, T=T, actor=actor, **_policy_step_kwargs(config)
     )
 
     P = price.shape[1]
@@ -470,9 +487,11 @@ def pallas_gen_policy_multiday(
     interpret: bool = False,
     check_params: bool = True,
     mlp_dtype=jnp.float32,
+    actor: str = "ppo",
 ):
     """Run ``num_days`` fresh generated days × ``batch`` envs of the
     deterministic MLP actor closed-loop in ONE kernel launch.
+    ``actor``: "ppo" (ActorCritic pi torso) or "ddpg" (DDPGActor mu torso).
 
     Returns ``stats (8, batch)``: row 0 = Σ rewards per env over all days,
     row 1 = Σ (day return)², row 2 = final battery SoC.
@@ -503,13 +522,13 @@ def pallas_gen_policy_multiday(
     price_col = price[0, :T].reshape(T, 1)
     solar_col = solar[0, :T].reshape(T, 1)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
-    weights = _actor_blocks(config, net_params, mlp_dtype=mlp_dtype)
+    weights = _actor_blocks(config, net_params, mlp_dtype=mlp_dtype, actor=actor)
 
     kw = _policy_step_kwargs(config)
     batt = kw.pop("batt")
     kernel = functools.partial(
         _gen_policy_multiday_kernel,
-        T=T, num_days=num_days, batt=batt, **kw,
+        T=T, num_days=num_days, batt=batt, actor=actor, **kw,
     )
 
     P = price.shape[1]

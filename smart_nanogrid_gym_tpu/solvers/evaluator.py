@@ -78,6 +78,7 @@ def evaluate_policy_at_scale(
     num_days: int = 10_000,
     batch: int = 4096,
     seed: int = 0,
+    algorithm: str = "ppo",
 ) -> dict[str, float]:
     """Massive-scale deterministic-actor evaluation in ONE fused TPU kernel.
 
@@ -96,7 +97,8 @@ def evaluate_policy_at_scale(
     # guard eagerly (params stay traced inside the cached jit)
     check_baked_params(config, params, "evaluate_policy_at_scale",
                        generation=True, battery_init=True)
-    stats = _at_scale_jit(config, num_days, batch)(params, net_params, seed)
+    stats = _at_scale_jit(config, num_days, batch, algorithm)(
+        params, net_params, seed)
     total = float(num_days * batch)
     mean = float(stats[0].sum()) / total
     var = float(stats[1].sum()) / total - mean * mean
@@ -108,15 +110,17 @@ def evaluate_policy_at_scale(
 
 
 @functools.lru_cache(maxsize=32)
-def _at_scale_jit(config: NanogridConfig, num_days: int, batch: int):
-    """One compiled evaluation program per (config, days, batch) — repeated
-    at-scale calls (checkpoint sweeps) reuse it instead of re-jitting a fresh
-    partial every call (which cost seconds of retrace per checkpoint)."""
+def _at_scale_jit(config: NanogridConfig, num_days: int, batch: int,
+                  algorithm: str = "ppo"):
+    """One compiled evaluation program per (config, days, batch, algorithm) —
+    repeated at-scale calls (checkpoint sweeps) reuse it instead of re-jitting
+    a fresh partial every call (which cost seconds of retrace per checkpoint)."""
     from ..ops.pallas_gen_policy_rollout import pallas_gen_policy_multiday
 
     def run(params, net_params, seed):
         return pallas_gen_policy_multiday(
-            config, params, net_params, num_days, seed, batch, check_params=False
+            config, params, net_params, num_days, seed, batch,
+            check_params=False, actor=algorithm,
         )
 
     return jax.jit(run)

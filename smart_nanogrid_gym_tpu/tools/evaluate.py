@@ -44,9 +44,9 @@ def main(argv=None):
                         "evaluator style, solvers/evaluator.py:44-77)")
     p.add_argument("--checkpoint-step", type=int, default=None)
     p.add_argument("--at-scale", type=int, default=None, metavar="DAYS",
-                   help="ALSO evaluate each PPO checkpoint on DAYS freshly "
-                        "generated days x 4096 envs in one fused TPU kernel "
-                        "(solvers.evaluator.evaluate_policy_at_scale)")
+                   help="ALSO evaluate each checkpoint (PPO or DDPG) on DAYS "
+                        "freshly generated days x 4096 envs in one fused TPU "
+                        "kernel (solvers.evaluator.evaluate_policy_at_scale)")
     p.add_argument("--sb3-zip", action="append", default=[], metavar="ZIP",
                    help="evaluate an SB3 PPO checkpoint zip as shipped by the "
                         "reference (solvers/RL/models/*/NNN.zip); repeatable")
@@ -70,7 +70,7 @@ def main(argv=None):
     }
 
     model_dirs = []
-    ppo_checkpoints: dict[str, object] = {}
+    at_scale_checkpoints: dict[str, tuple] = {}
     if args.models_dir:
         model_dirs.append(args.models_dir)
     if args.models_root and os.path.isdir(args.models_root):
@@ -110,8 +110,8 @@ def main(argv=None):
                 print(f"# skipping {d}: {exc}", flush=True)
                 continue
             policies[f"{name}@{step}"] = learner.policy_fn(net_params)
-            if not is_ddpg:
-                ppo_checkpoints[f"{name}@{step}"] = net_params
+            at_scale_checkpoints[f"{name}@{step}"] = (
+                "ddpg" if is_ddpg else "ppo", net_params)
 
     sb3_zips = list(args.sb3_zip)
     if args.sb3_models_dir:
@@ -126,7 +126,8 @@ def main(argv=None):
             if parent:
                 tag = f"SB3-{parent}@{os.path.splitext(os.path.basename(zip_path))[0]}"
             policies[tag] = make_sb3_policy_fn(config, net_params)
-            ppo_checkpoints[tag] = jax.tree.map(jnp.asarray, net_params)
+            at_scale_checkpoints[tag] = (
+                "ppo", jax.tree.map(jnp.asarray, net_params))
 
     results = evaluate_policies_same_days(
         config, params, policies, num_days=args.days, seed=args.seed
@@ -144,9 +145,10 @@ def main(argv=None):
     if args.at_scale:
         from ..solvers.evaluator import evaluate_policy_at_scale
 
-        for name, net_params in ppo_checkpoints.items():
+        for name, (algo, net_params) in at_scale_checkpoints.items():
             report[f"{name} (at-scale)"] = evaluate_policy_at_scale(
-                config, params, net_params, num_days=args.at_scale, seed=args.seed
+                config, params, net_params, num_days=args.at_scale,
+                seed=args.seed, algorithm=algo,
             )
 
     if args.plot:

@@ -220,3 +220,64 @@ def test_pallas_gen_policy_kernel_matches_fused(config):
     assert (a >= low[None, :, None] - 1e-6).all() and (a <= high[None, :, None] + 1e-6).all()
     assert soc_final.shape == (N, B)
     assert np.isfinite(np.asarray(soc_final)).all()
+
+
+def test_pallas_gen_policy_kernel_matches_fused_ddpg():
+    """Fused generation+policy kernel with the DDPG actor (400-300 relu torso,
+    tanh squashed into the action box — solvers.networks.DDPGActor) vs the
+    same uniform block through generate_schedule + fused XLA rollout."""
+    from smart_nanogrid_gym_tpu.core.generate import generate_schedule
+    from smart_nanogrid_gym_tpu.ops.pallas_gen_policy_rollout import pallas_gen_policy_day
+    from smart_nanogrid_gym_tpu.solvers.ddpg import DDPGLearner
+
+    config = NanogridConfig(num_chargers=8, pv_system=True, battery_system=True)
+    B = 128
+    T, N = config.steps_per_day, config.num_chargers
+    params = make_params(config, dtype=jnp.float32)
+    bparams = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), params)
+
+    u = jax.random.uniform(jax.random.PRNGKey(21), (B, T, 5, N), jnp.float32)
+    schedules = jax.vmap(
+        lambda uu: generate_schedule(None, config, params, uniforms=uu)
+    )(u)
+    keys = jax.random.split(jax.random.PRNGKey(22), B)
+    states, _ = jax.vmap(functools.partial(core_reset, config))(
+        bparams, keys, None, schedules
+    )
+
+    learner = DDPGLearner(config)
+    actor_params = learner.actor.init(
+        jax.random.PRNGKey(23), jnp.zeros((1, config.obs_dim), jnp.float32)
+    )
+    # push the battery action's pre-squash mean away from 0 so the charge/
+    # discharge branch can't flip on last-ulp matmul-ordering differences
+    # (charger actions live in [0, 1] — tanh squash keeps them > 0 always)
+    bias = np.concatenate(
+        [np.full(config.num_chargers, 0.4), [-0.6]]
+    ).astype(np.float32)
+    actor_params = jax.tree_util.tree_map_with_path(
+        lambda path, x: jnp.asarray(bias)
+        if "Dense_2" in str(path) and "mu" in str(path) and "bias" in str(path)
+        else x,
+        actor_params,
+    )
+
+    policy = learner.policy_fn(actor_params)
+    next_state, (_, rew_fused, _) = fused_day_rollout(
+        config, bparams, states, lambda ob, k: policy(ob), jax.random.PRNGKey(24)
+    )
+
+    rew_pallas, actions, soc_final, batt_final = pallas_gen_policy_day(
+        config, bparams, actor_params, jnp.moveaxis(u, 0, -1), states.pv_shift,
+        interpret=True, actor="ddpg",
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(rew_pallas), np.asarray(rew_fused), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(batt_final), np.asarray(next_state.batt_soc), rtol=2e-4, atol=2e-4
+    )
+    low, high = config.action_bounds()
+    a = np.asarray(actions)
+    assert (a >= low[None, :, None] - 1e-6).all() and (a <= high[None, :, None] + 1e-6).all()

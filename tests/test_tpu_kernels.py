@@ -172,3 +172,30 @@ def test_policy_multiday_bf16_matmuls_match_f32_statistics():
     mean_f, std_f = stats["float32"]
     assert abs(mean_b - mean_f) / abs(mean_f) < 0.005, stats
     assert abs(std_b - std_f) / abs(std_f) < 0.02, stats
+
+
+def test_ddpg_actor_multiday_kernel_runs_at_scale():
+    """The fused multiday kernel with the DDPG actor head (400-300 relu torso,
+    tanh squash — evaluate_policy_at_scale(algorithm='ddpg')): the MLP head is
+    bit-pinned by the interpret-mode parity test; this validates the VMEM
+    footprint + in-kernel-PRNG combination compiles and produces sane returns
+    on the real chip."""
+    from smart_nanogrid_gym_tpu.solvers.ddpg import DDPGLearner
+    from smart_nanogrid_gym_tpu.solvers.evaluator import evaluate_policy_at_scale
+
+    config = _config()
+    with jax.default_device(_TPUS[0]):
+        params = make_params(config, dtype=jnp.float32)
+        learner = DDPGLearner(config)
+        actor_params = learner.actor.init(
+            jax.random.PRNGKey(5), jnp.zeros((1, config.obs_dim)))
+
+        out = evaluate_policy_at_scale(
+            config, params, actor_params, num_days=50, batch=BATCH,
+            algorithm="ddpg")
+
+    assert out["total_days"] == 50 * BATCH
+    assert np.isfinite(out["mean_day_return"])
+    # an untrained tanh actor charges aggressively: far better than idle
+    # (~ -950) and worse than a trained policy (~ -50)
+    assert -2000 < out["mean_day_return"] < 0, out
