@@ -1,8 +1,11 @@
 """Single-day prediction CLI — the TPU-native counterpart of solvers/predictor.py.
 
-Rolls one day with a policy (RBC or a restored PPO checkpoint) and dumps the
-full telemetry to a reference-compatible ``*-prediction_results.json``
+Rolls one day per policy (RBC, restored PPO checkpoints, and/or the
+reference's shipped SB3 zips) and dumps the full telemetry to a
+reference-compatible ``*-prediction_results.json``
 (smart_nanogrid_environment.py:239-309 keys) for the visualisation notebooks.
+``--plot`` renders the reference predictor's final-rewards bar chart
+(solvers/predictor.py:104-120: one bar per model, total day reward).
 
 Run:  python -m smart_nanogrid_gym_tpu.tools.predict --variant b-pv --out out/
 """
@@ -35,9 +38,16 @@ def main(argv=None):
     p.add_argument("--out", default="nanogrid_outputs")
     p.add_argument("--models-dir", default=None)
     p.add_argument("--checkpoint-step", type=int, default=None)
-    p.add_argument("--sb3-zip", default=None,
+    p.add_argument("--sb3-zip", action="append", default=[], metavar="ZIP",
                    help="predict with one of the reference's shipped SB3 PPO "
-                        "zips (solvers/predictor.py:60-74 flow, torch-free)")
+                        "zips (solvers/predictor.py:60-74 flow, torch-free); "
+                        "repeatable — each zip rolls its own fresh day")
+    p.add_argument("--with-rbc", action="store_true",
+                   help="also roll the RBC baseline (its own day) for the "
+                        "--plot comparison")
+    p.add_argument("--plot", default=None, metavar="PNG",
+                   help="save the per-model total-reward bar chart the "
+                        "reference predictor draws (solvers/predictor.py:104-120)")
     args = p.parse_args(argv)
 
     v = VARIANTS[args.variant]
@@ -54,13 +64,22 @@ def main(argv=None):
         seed=args.seed,
     )
 
+    # Assemble {name: (algorithm_tag, policy_fn)} — mirrors the reference
+    # predictor's model loop (solvers/predictor.py:87-94: one fresh day per
+    # model, environment_mode='prediction').
+    policies: dict[str, tuple] = {}
     if args.sb3_zip:
         from ..compat.sb3_loader import load_sb3_actor_critic, make_sb3_policy_fn
 
-        net_params, _ = load_sb3_actor_critic(args.sb3_zip, env.config)
-        sb3_policy = make_sb3_policy_fn(env.config, jax.tree.map(jnp.asarray, net_params))
-        policy = lambda obs, key: sb3_policy(obs)
-    elif args.models_dir:
+        for zip_path in args.sb3_zip:
+            net_params, _ = load_sb3_actor_critic(zip_path, env.config)
+            sb3_policy = make_sb3_policy_fn(
+                env.config, jax.tree.map(jnp.asarray, net_params))
+            base = os.path.splitext(os.path.basename(zip_path))[0]
+            parent = os.path.basename(os.path.dirname(os.path.abspath(zip_path)))
+            tag = f"SB3-{parent}@{base}" if parent else f"SB3-{base}"
+            policies[tag] = ("PPO", lambda obs, key, p=sb3_policy: p(obs))
+    if args.models_dir:
         learner = PPOLearner(env.config)
         from ..core import make_params
 
@@ -69,20 +88,56 @@ def main(argv=None):
         )
         step = args.checkpoint_step if args.checkpoint_step is not None else latest_step(args.models_dir)
         net_params = restore_checkpoint(args.models_dir, step, init_state.params)
-        policy = learner.policy_fn(net_params)
-    else:
+        name = os.path.basename(os.path.normpath(args.models_dir))
+        policies[f"{name}@{step}"] = ("PPO", learner.policy_fn(net_params))
+    if args.with_rbc or not policies:
         rbc = make_rbc_policy_fn(env.config)
-        policy = lambda obs, key: rbc(obs)
+        policies["RBC"] = ("RBC", lambda obs, key: rbc(obs))
 
-    obs, _ = env.reset()
-    total = 0.0
-    done = False
-    while not done:
-        action = np.asarray(policy(jnp.asarray(obs), None))
-        obs, reward, done, _, _ = env.step(action)
-        total += reward
-    print(json.dumps({"day_return": total, "output_dir": env._out_dir()}))
-    return total
+    day_returns: dict[str, float] = {}
+    for name, (algo, policy) in policies.items():
+        obs, _ = env.reset(algorithm_used=algo)
+        total = 0.0
+        done = False
+        while not done:
+            action = np.asarray(policy(jnp.asarray(obs), None))
+            obs, reward, done, _, _ = env.step(action)
+            total += reward
+        day_returns[name] = total
+
+    report = {"day_returns": day_returns,
+              "day_return": next(iter(day_returns.values())),
+              "output_dir": env._out_dir()}
+    if args.plot:
+        plot_final_rewards(day_returns, args.plot)
+        report["figure"] = args.plot
+    print(json.dumps(report))
+    return report["day_return"]
+
+
+def plot_final_rewards(day_returns: dict[str, float], out_path: str) -> str:
+    """One bar per model, total single-day reward — the figure the reference
+    predictor saves as prediction_figure_final_rewards_*.png
+    (solvers/predictor.py:104-120: per-model bars, legend, grid)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(15, 10))
+    for i, (name, total) in enumerate(day_returns.items()):
+        ax.bar(i, total, label=name)
+    ax.set_xlabel("Prediction model")
+    ax.set_ylabel("Total reward")
+    ax.set_xticks(range(len(day_returns)))
+    ax.set_xticklabels(list(day_returns), rotation=15, ha="right", fontsize=8)
+    ax.legend()
+    ax.grid(True)
+    parent = os.path.dirname(os.path.abspath(out_path))
+    os.makedirs(parent, exist_ok=True)
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
 
 
 if __name__ == "__main__":

@@ -83,6 +83,28 @@ def test_predict_cli_smoke(tmp_path):
     assert any("prediction_results.json" in f for f in files)
 
 
+def test_predict_cli_plot_and_multi_model(tmp_path, capsys):
+    """--plot renders the reference predictor's final-rewards bar chart
+    (solvers/predictor.py:104-120) over one fresh day per model."""
+    from smart_nanogrid_gym_tpu.tools.predict import main
+
+    sb3_zip = "/root/reference/solvers/RL/models/PPO-b-pv-bounded-sparse-4ch-1h/999600.zip"
+    argv = ["--variant", "b-pv", "--num-chargers", "4",
+            "--out", str(tmp_path / "out"), "--seed", "5",
+            "--with-rbc", "--plot", str(tmp_path / "bars.png")]
+    expected = {"RBC"}
+    if os.path.exists(sb3_zip):
+        argv += ["--sb3-zip", sb3_zip]
+        expected.add("SB3-PPO-b-pv-bounded-sparse-4ch-1h@999600")
+    ret = main(argv)
+    assert np.isfinite(ret)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out["day_returns"]) == expected
+    assert all(np.isfinite(v) for v in out["day_returns"].values())
+    fig = tmp_path / "bars.png"
+    assert fig.exists() and fig.stat().st_size > 5_000
+
+
 def test_gymnasium_registration():
     gymnasium = pytest.importorskip("gymnasium")
     import smart_nanogrid_gym_tpu.envs  # noqa: F401  (side effect: register)
