@@ -102,6 +102,7 @@ def reset(
     batt_soc: jnp.ndarray | None = None,
     schedule: DaySchedule | None = None,
     day: int | jnp.ndarray = 0,
+    pv_shift: jnp.ndarray | float | None = None,
 ) -> tuple[EnvState, jnp.ndarray]:
     """Start a new day (reference: envs/smart_nanogrid_environment.py:311-351).
 
@@ -109,6 +110,9 @@ def reset(
     reference never resets it (the CMS constructs the BESS once; SURVEY.md §3.1)
     — and ``schedule`` replays a recorded day (reset with
     ``generate_new_initial_values=False``, charging_station.py:119-136).
+    ``pv_shift`` pins the PV shift ratio instead of drawing it (needed to
+    replay a recorded reference day exactly: the reset observation already
+    exposes shifted radiation through the lookahead window, §3.2).
     """
     dtype = params.dtype
     k_sched, k_shift, k_next = jax.random.split(key, 3)
@@ -119,7 +123,10 @@ def reset(
     batt_soc = jnp.asarray(batt_soc, dtype)
     # random_pv_shift_ratio = randint(0, 180)/100 (env.py:349); stdlib randint is
     # inclusive of both ends.
-    pv_shift = jax.random.randint(k_shift, (), 0, 181).astype(dtype) / 100.0
+    if pv_shift is None:
+        pv_shift = jax.random.randint(k_shift, (), 0, 181).astype(dtype) / 100.0
+    else:
+        pv_shift = jnp.asarray(pv_shift, dtype)
 
     state = EnvState(
         t=jnp.asarray(0, jnp.int32),

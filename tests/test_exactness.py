@@ -60,8 +60,10 @@ def run_pair(ref_kwargs, actions_per_step, seed=0, pv_shift=1.0):
         capacities=sched_arrays["Vehicle_capacities"],
         requested_soc=sched_arrays["Requested_SOC"],
     )
-    state, obs0 = reset(config, params, jax.random.PRNGKey(seed), schedule=schedule)
-    state = state._replace(pv_shift=jnp.asarray(pv_shift, jnp.float64))
+    # pv_shift pinned at reset so obs0 sees the shifted radiation lookahead
+    # (at 2h the t+3 slot crosses sunrise already at reset)
+    state, obs0 = reset(config, params, jax.random.PRNGKey(seed),
+                        schedule=schedule, pv_shift=pv_shift)
 
     observations, rewards, infos = [], [], []
     for actions in actions_per_step:
