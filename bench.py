@@ -113,10 +113,12 @@ def bench_pallas_multiday(config, params):
     """Whole-benchmark fused kernel: one launch per DAYS days, in-kernel PRNG."""
     from smart_nanogrid_gym_tpu.ops.pallas_gen_rollout import pallas_gen_rbc_multiday
 
-    # amortize the dispatch round-trip like a long training run: at 7.1B
-    # steps/s a 40k-day call is 0.55 s against the tunnel's ~27 ms dispatch
-    # (~5% overhead); 120k days cuts that to ~1.6%
-    DAYS = 120_000
+    # amortize the dispatch round-trip like a long training run: at ~7.5B
+    # steps/s a 400k-day call is ~5.2 s against the tunnel's ~27 ms dispatch
+    # (~0.5% overhead).  f32 stat accumulators stay accurate: per-env day
+    # returns ~-350 over 400k days total ~-1.4e8, rounding accumulates only
+    # ~sqrt(n)·ulp/2 ≈ 0.003% on the mean.
+    DAYS = 400_000
 
     @jax.jit
     def run_days(seed):

@@ -65,7 +65,7 @@ def _gen_policy_step(
     price_norm_ref, rad_norm_ref, pv_shift,
     w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, low_ref, high_ref,
     *, T, N, dt, pv, batt, penalty_mode, diff_caps, req_soc, k4, k10, k1,
-    actor="ppo",
+    actor="ppo", reduce_pen=True,
 ):
     """One timestep: generate schedule column t, run the MLP actor on the
     step-(t-1) observation (envs/smart_nanogrid_environment.py:173-174 timing),
@@ -75,6 +75,9 @@ def _gen_policy_step(
     holds the (1, BB) per-step inputs of the grid/cost arithmetic — that part
     has no cross-step dependency, so the kernels batch it over all T steps at
     once (:func:`_policy_day_rewards`), using every sublane instead of 1 of 8.
+    ``reduce_pen=False`` returns the raw (N, BB) penalty contributions in
+    ``rows["pen"]`` for day-return-only kernels (one sublane reduction per day,
+    see pallas_gen_rollout._gen_rbc_step).
     """
     f32 = jnp.float32
     cols, gen = _generate_column(
@@ -83,14 +86,14 @@ def _gen_policy_step(
     )
     arrives, occupied = cols["arrives"], cols["occupied"]
     cap_col, req_col = cols["cap_col"], cols["req_col"]
-    soc_col_t, dep_col, mask_col = cols["soc_col_t"], cols["dep_col"], cols["mask_col"]
+    soc_t, dep_col, mask_col = cols["soc_t"], cols["dep_col"], cols["mask_col"]
 
     if t == 0:
         # reset's trailing observe: the step-0 policy sees the generated
         # column 0 and the reset-time penalty-check set (§3.1/§3.2)
         pmask = mask_col
         dep_o = dep_col
-        soc_rows = soc_col_t
+        soc_rows = jnp.where(arrives, soc_t, 0.0)  # the generated SoC column 0
     else:
         pmask = c["pmask"]
         dep_o = c["prev_depcol"]
@@ -142,7 +145,9 @@ def _gen_policy_step(
     battery_action = actions[N : N + 1] if batt else jnp.zeros_like(pv_shift)
 
     # ---- charger physics, both branches (core/physics.py semantics) ----
-    soc_eff = jnp.where(arrives, soc_col_t, c["prev_col"])
+    # soc_col_t == where(arrives, soc_t, 0): where(arrives, soc_col_t, x)
+    # == where(arrives, soc_t, x) bit-for-bit
+    soc_eff = jnp.where(arrives, soc_t, c["prev_col"])
     if diff_caps:
         cap_eff = jnp.where(arrives, cap_col, c["prev_capcol"])
         safe_cap = jnp.where(cap_eff > 0, cap_eff, 1.0)
@@ -166,7 +171,8 @@ def _gen_policy_step(
         jnp.where(is_neg, jnp.maximum(calc, 0.0), soc_eff),
     )
     power = jnp.where(occupied, power, 0.0)
-    new_col = jnp.where(occupied, soc_new, soc_col_t)
+    # ¬occupied ⇒ ¬arrives ⇒ soc_col_t == 0: the fallback lane is always 0
+    new_col = jnp.where(occupied, soc_new, 0.0)
 
     total_charging = jnp.sum(jnp.where(power > 0, power, 0.0), axis=0, keepdims=True)
     total_discharging = jnp.sum(jnp.where(power < 0, power, 0.0), axis=0, keepdims=True)
@@ -177,8 +183,9 @@ def _gen_policy_step(
     req_p = c["prev_reqcol"] if req_soc else c["present"]
     insufficient = c["prev_col"] < req_p - _MARGIN * req_p
     dgap = (req_p - c["prev_col"]) * _GAIN
-    veh_pen = jnp.sum(jnp.where((pmask > 0) & insufficient, dgap * dgap, 0.0),
-                      axis=0, keepdims=True)
+    veh_pen = jnp.where((pmask > 0) & insufficient, dgap * dgap, 0.0)
+    if reduce_pen:
+        veh_pen = jnp.sum(veh_pen, axis=0, keepdims=True)
 
     # ---- bidirectional BESS (sequential through batt_soc) ----
     flows = total_charging + total_discharging
@@ -236,8 +243,9 @@ def _policy_day_rewards(rows, price_col, solar_col, pv_shift, *, dt, pv, batt):
     grid_energy = grid_power * dt
     g_cost = jnp.where(grid_energy < 0, grid_energy * (_SELL * price_col),
                        grid_energy * price_col)
-    total_cost = (_GRID_W * jnp.abs(g_cost) + _W_BATT * batt_pen
-                  + _W_VEH * rows["pen"])
+    total_cost = _GRID_W * jnp.abs(g_cost) + _W_BATT * batt_pen
+    if "pen" in rows:  # absent when the caller defers the penalty reduction
+        total_cost = total_cost + _W_VEH * rows["pen"]
     return -total_cost
 
 
@@ -330,21 +338,27 @@ def _gen_policy_multiday_kernel(
         pv_shift = jnp.floor(uniform((1, BB)) * 181.0) / 100.0
         carry = _fresh_carry(N, BB, step_kw["diff_caps"], step_kw["req_soc"])
 
+        # penalty is linear in the reward: accumulate raw (N, BB) contributions
+        # and reduce over sublanes once per day (see _gen_rbc_multiday_kernel)
+        pen_acc = jnp.zeros((N, BB), f32)
         step_rows = []
         for t in range(T):
             rows, _, carry, batt_soc = _gen_policy_step(
                 t, draw_u5(t), carry, batt_soc,
                 price_norm_ref, rad_norm_ref, pv_shift,
                 w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, low_ref, high_ref,
-                T=T, N=N, batt=batt, **step_kw,
+                T=T, N=N, batt=batt, reduce_pen=False, **step_kw,
             )
+            pen_acc = pen_acc + rows.pop("pen")
             step_rows.append(rows)
 
         rewards = _policy_day_rewards(
             _stack_rows(step_rows), price_col_ref[:, :], solar_col_ref[:, :],
             pv_shift, dt=step_kw["dt"], pv=step_kw["pv"], batt=batt,
         )
-        day_return = jnp.sum(rewards, axis=0, keepdims=True)
+        pen_total = jnp.sum(pen_acc, axis=0, keepdims=True)
+        day_return = (jnp.sum(rewards, axis=0, keepdims=True)
+                      - _W_VEH * pen_total)
         return (rew_total + day_return, sq_total + day_return * day_return, batt_soc)
 
     zero_row = jnp.zeros((1, BB), f32)

@@ -159,7 +159,6 @@ def _generate_column(
         # with the toggle off): the column is exactly the occupancy row
         req_col = occ_f
 
-    soc_col_t = jnp.where(arrives, soc_t, 0.0)
     dep_col = jnp.where(occupied, dep - float(t), 0.0)
     if penalty_mode == PenaltyMode.NO_PENALTY:
         mask_col = zero_nb
@@ -176,7 +175,11 @@ def _generate_column(
         "occ_f": occ_f,
         "cap_col": cap_col,
         "req_col": req_col,
-        "soc_col_t": soc_col_t,
+        # the SoC *column* at t is where(arrives, soc_t, 0): arrival implies
+        # occupancy (dep_new > t always), so consumers rebuild any masked form
+        # bit-identically from ``soc_t``/``arrives``/``occupied`` without the
+        # extra lane-wide select every step
+        "soc_t": soc_t,
         "dep_col": dep_col,
         "mask_col": mask_col,
     }
@@ -186,15 +189,20 @@ def _generate_column(
 def _gen_rbc_step(
     t, u5, c, rad_norm_ref, pv_shift,
     *, T, dt, pv, penalty_mode, diff_caps, req_soc, k4, k10, k1,
+    reduce_pen=True,
 ):
     """One timestep: generate schedule column t, run the RBC policy on the
     step-(t-1) observation, apply charger physics + the penalty reduction.
 
     ``u5``: the 5 uniform draws at t, each ``(N, BB)``.  ``c``: carry dict from
-    :func:`_fresh_carry`.  Returns ``(charging_row (1, BB), pen_row (1, BB),
-    carry)`` — the grid/cost arithmetic has no cross-step dependency, so the
-    kernels batch it over all T steps at once (:func:`_day_rewards`), using
-    every sublane instead of 1 of 8 per step.
+    :func:`_fresh_carry`.  Returns ``(charging_row (1, BB), pen, carry)`` —
+    the grid/cost arithmetic has no cross-step dependency, so the kernels
+    batch it over all T steps at once (:func:`_day_rewards`), using every
+    sublane instead of 1 of 8 per step.  ``pen`` is the (1, BB) reduced
+    penalty row when ``reduce_pen`` (the per-step-reward kernels), or the raw
+    (N, BB) per-charger contributions when not: the penalty enters the reward
+    linearly, so day-return-only kernels accumulate the (N, BB) terms and do
+    ONE sublane reduction per day instead of one per step.
     """
     f32 = jnp.float32
     cols, gen = _generate_column(
@@ -203,7 +211,7 @@ def _gen_rbc_step(
     )
     arrives, occupied, occ_f = cols["arrives"], cols["occupied"], cols["occ_f"]
     cap_col, req_col = cols["cap_col"], cols["req_col"]
-    soc_col_t, dep_col, mask_col = cols["soc_col_t"], cols["dep_col"], cols["mask_col"]
+    soc_t, dep_col, mask_col = cols["soc_t"], cols["dep_col"], cols["mask_col"]
 
     if t == 0:
         # reset's trailing observe computes the step-0 check set (§3.1)
@@ -226,7 +234,9 @@ def _gen_rbc_step(
     actions = jnp.where(dep_o == 0.0, 0.0, jnp.where(soon, 1.0, fallback))
 
     # ---- charger physics, charge branch only (RBC actions >= 0) ----
-    soc_eff = jnp.where(arrives, soc_col_t, c["prev_col"])
+    # soc_col_t == where(arrives, soc_t, 0), so where(arrives, soc_col_t, x)
+    # == where(arrives, soc_t, x) bit-for-bit
+    soc_eff = jnp.where(arrives, soc_t, c["prev_col"])
     p_raw = actions * (_MAX_P * _EFF)
     if diff_caps:
         cap_eff = jnp.where(arrives, cap_col, c["prev_capcol"])
@@ -240,7 +250,8 @@ def _gen_rbc_step(
     active = occupied & (actions > 0)
     power = jnp.where(active, p_raw, 0.0)
     soc_new = jnp.where(actions > 0, jnp.minimum(calc, 1.0), soc_eff)
-    new_col = jnp.where(occupied, soc_new, soc_col_t)
+    # ¬occupied ⇒ ¬arrives ⇒ soc_col_t == 0: the fallback lane is always 0
+    new_col = jnp.where(occupied, soc_new, 0.0)
 
     total_charging = jnp.sum(power, axis=0, keepdims=True)  # (1, BB)
 
@@ -251,8 +262,9 @@ def _gen_rbc_step(
     lower = _MARGIN * req_p
     insufficient = c["prev_col"] < req_p - lower
     diff = (req_p - c["prev_col"]) * _GAIN
-    veh_pen = jnp.sum(jnp.where((pmask > 0) & insufficient, diff * diff, 0.0),
-                      axis=0, keepdims=True)
+    veh_pen = jnp.where((pmask > 0) & insufficient, diff * diff, 0.0)
+    if reduce_pen:
+        veh_pen = jnp.sum(veh_pen, axis=0, keepdims=True)
 
     carry = {
         **gen,
@@ -275,7 +287,9 @@ def _day_rewards(charging, veh_pen, price_col, solar_col, pv_shift, dod_pen,
     ``price_col``/``solar_col``: (T, 1) per-timestep scalars.  Elementwise
     arithmetic is identical to the former per-step form — each (t, env) value
     is bit-equal — only the instruction shape changes (T sublanes at a time
-    instead of 1)."""
+    instead of 1).  ``veh_pen=None`` omits the vehicle-penalty term: the
+    day-return-only kernels fold a once-per-day reduced penalty total into the
+    return instead (the penalty is linear in the reward)."""
     if pv:
         solar = solar_col * pv_shift
         grid_power = charging - solar
@@ -284,7 +298,9 @@ def _day_rewards(charging, veh_pen, price_col, solar_col, pv_shift, dod_pen,
     grid_energy = grid_power * dt
     g_cost = jnp.where(grid_energy < 0, grid_energy * (_SELL * price_col),
                        grid_energy * price_col)
-    total_cost = _GRID_W * jnp.abs(g_cost) + _W_BATT * dod_pen + _W_VEH * veh_pen
+    total_cost = _GRID_W * jnp.abs(g_cost) + _W_BATT * dod_pen
+    if veh_pen is not None:
+        total_cost = total_cost + _W_VEH * veh_pen
     return -total_cost
 
 
@@ -440,21 +456,27 @@ def _gen_rbc_multiday_kernel(
         pv_shift = jnp.floor(uniform((1, BB)) * 181.0) / 100.0
         carry = _fresh_carry(N, BB, step_kw["diff_caps"], step_kw["req_soc"])
 
-        charging_rows, pen_rows = [], []
+        # the penalty is linear in the reward: accumulate the raw (N, BB)
+        # contributions and reduce over sublanes ONCE per day (one 3-op
+        # log-reduction per day instead of per step)
+        pen_acc = jnp.zeros((N, BB), f32)
+        charging_rows = []
         for t in range(T):
-            charging, pen, carry = _gen_rbc_step(
-                t, draw_u5(t), carry, rad_norm_ref, pv_shift, T=T, **step_kw,
+            charging, pen_nb, carry = _gen_rbc_step(
+                t, draw_u5(t), carry, rad_norm_ref, pv_shift, T=T,
+                reduce_pen=False, **step_kw,
             )
             charging_rows.append(charging)
-            pen_rows.append(pen)
+            pen_acc = pen_acc + pen_nb
 
         rewards = _day_rewards(
-            jnp.concatenate(charging_rows, axis=0),
-            jnp.concatenate(pen_rows, axis=0),
+            jnp.concatenate(charging_rows, axis=0), None,
             price_col_ref[:, :], solar_col_ref[:, :], pv_shift, dod_pen,
             dt=step_kw["dt"], pv=step_kw["pv"],
         )
-        day_return = jnp.sum(rewards, axis=0, keepdims=True)
+        pen_total = jnp.sum(pen_acc, axis=0, keepdims=True)
+        day_return = (jnp.sum(rewards, axis=0, keepdims=True)
+                      - _W_VEH * pen_total)
         return (rew_total + day_return, sq_total + day_return * day_return)
 
     zero_row = jnp.zeros((1, BB), f32)
