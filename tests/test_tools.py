@@ -105,6 +105,18 @@ def test_predict_cli_plot_and_multi_model(tmp_path, capsys):
     assert fig.exists() and fig.stat().st_size > 5_000
 
 
+def test_api_docs_current():
+    """docs/API.md must match the live public surface (regenerate with
+    python -m smart_nanogrid_gym_tpu.tools.gen_api_docs)."""
+    from smart_nanogrid_gym_tpu.tools.gen_api_docs import render
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo_root, "docs", "API.md")) as fp:
+        assert fp.read() == render(), (
+            "docs/API.md is stale — run python -m "
+            "smart_nanogrid_gym_tpu.tools.gen_api_docs")
+
+
 def test_gymnasium_registration():
     gymnasium = pytest.importorskip("gymnasium")
     import smart_nanogrid_gym_tpu.envs  # noqa: F401  (side effect: register)
