@@ -191,7 +191,21 @@ def bench_scaling(config, params, out_path="SCALING.json"):
     payload = {}
     real = [d for d in jax.devices() if d.platform != "cpu"]
     if real:
-        records = scaling_sweep(config, params, devices=real, batch_per_device=4096)
+        # the sweep's unit is the flagship fused Pallas multiday kernel, one
+        # instance per device (path="kernel"), with per-call work sized to
+        # amortize the ~27 ms tunnel dispatch exactly like the headline bench;
+        # XLA rollout is only the fallback where Pallas cannot run
+        try:
+            records = scaling_sweep(
+                config, params, devices=real, batch_per_device=4096,
+                num_days=100_000, path="kernel")
+        except Exception:
+            import traceback, sys
+
+            print("# kernel scaling path failed, falling back to XLA:", file=sys.stderr)
+            traceback.print_exc()
+            records = scaling_sweep(
+                config, params, devices=real, batch_per_device=4096, path="xla")
         payload["tpu"] = {"records": records, "virtual": False}
         print(json.dumps({"platform": "tpu", "records": records}))
     cpus = jax.devices("cpu")
@@ -300,7 +314,49 @@ def bench_all(config, params, out_path="BENCH_TABLE.json"):
     results["pallas_gen_policy_multiday"] = _timeit(
         lambda i: jax.block_until_ready(pol_multiday(i)), BATCH * config.steps_per_day * 2_500)
 
-    # 6. native engines (CPU serving)
+    # 6. training updates — the reference's ACTUAL workload (1.02M env steps
+    # of PPO training per script run, solvers/RL/ppo_train.py:94-102).
+    # Measured two ways: scanned (updates_per_call scanned inside one program,
+    # the deployment shape — 2,125 sequential updates per reference run) and
+    # unamortized (one dispatch per update, dominated by the ~27 ms tunnel
+    # round-trip; reported so the dispatch overhead is visible, not hidden).
+    from smart_nanogrid_gym_tpu.solvers.ppo import PPOConfig, PPOLearner
+
+    learner = PPOLearner(config, PPOConfig())  # SB3 defaults: 10 epochs x 4 mb
+    ppo_state = learner.init(jax.random.PRNGKey(0), params, batch_size=BATCH)
+    steps_per_update = BATCH * config.steps_per_day
+
+    PPO_UPDATES = 25
+    train_many = learner.build_train_many(PPO_UPDATES)
+
+    def ppo_many(i):
+        jax.block_until_ready(train_many(ppo_state, learner.nanogrid_params_batched))
+
+    results["ppo_train_update"] = _timeit(ppo_many, steps_per_update * PPO_UPDATES)
+
+    train_one = learner.build_train_step()
+
+    def ppo_one(i):
+        jax.block_until_ready(train_one(ppo_state, learner.nanogrid_params_batched))
+
+    results["ppo_train_update_unamortized"] = _timeit(ppo_one, steps_per_update)
+
+    # DDPG: collect one day + 24 gradient steps (batch 256) per update
+    from smart_nanogrid_gym_tpu.solvers.ddpg import DDPGConfig, DDPGLearner
+
+    dlearner = DDPGLearner(config, DDPGConfig(buffer_days=10))
+    ddpg_state = dlearner.init(jax.random.PRNGKey(1), params, batch_size=BATCH)
+    DDPG_UPDATES = 25
+    ddpg_many = dlearner.build_train_many(DDPG_UPDATES)
+
+    def ddpg_call(i):
+        jax.block_until_ready(ddpg_many(ddpg_state, dlearner.nanogrid_params_batched))
+
+    results["ddpg_train_update"] = _timeit(ddpg_call, steps_per_update * DDPG_UPDATES)
+
+    del ppo_state, ddpg_state  # free the replay buffer before the native runs
+
+    # 7. native engines (CPU serving)
     import numpy as _np
 
     from smart_nanogrid_gym_tpu.native import (
@@ -334,6 +390,76 @@ def bench_all(config, params, out_path="BENCH_TABLE.json"):
         print(json.dumps({"path": k, "steps_per_sec": v}))
 
 
+def bench_train_profile(config, params, out_path="TRAIN_PROFILE.json"):
+    """Phase breakdown of the PPO training update (VERDICT r3 #2).
+
+    Times three scanned programs over the same state — rollout only,
+    rollout+GAE, and the full update (rollout+GAE+the 10-epoch×4-minibatch
+    sweep) — and reports per-phase time by subtraction.  Every program scans
+    REPS iterations so the ~27 ms dispatch round-trip amortizes out and the
+    numbers are device time, not tunnel latency.
+    """
+    from smart_nanogrid_gym_tpu.solvers.ppo import PPOConfig, PPOLearner
+
+    learner = PPOLearner(config, PPOConfig())
+    state = learner.init(jax.random.PRNGKey(0), params, batch_size=BATCH)
+    env_params = learner.nanogrid_params_batched
+    REPS = 25
+    steps = BATCH * config.steps_per_day * REPS
+
+    def scanned(include_gae):
+        @jax.jit
+        def run(state):
+            def body(carry, _):
+                key, env_states, obs = carry
+                key, k = jax.random.split(key)
+                env_states, obs, traj = learner._rollout(
+                    state.params, env_params, env_states, obs, k)
+                t_obs, t_act, t_logp, t_val, t_rew, t_done = traj
+                if include_gae:
+                    _, _, last_value = learner.network.apply(state.params, obs)
+                    adv, ret = learner._gae(t_rew, t_val, t_done, last_value)
+                    out = adv.mean() + ret.mean()
+                else:
+                    out = t_rew.mean()
+                return (key, env_states, obs), out
+
+            _, outs = jax.lax.scan(
+                body, (state.key, state.env_states, state.last_obs), length=REPS)
+            return outs.mean()
+
+        return lambda i: run(state).block_until_ready()
+
+    full = learner.build_train_many(REPS)
+
+    def timed(fn):
+        fn(0)
+        t0 = time.perf_counter()
+        for i in range(NUM_CALLS_TIMED):
+            fn(i + 1)
+        return (time.perf_counter() - t0) / NUM_CALLS_TIMED
+
+    t_rollout = timed(scanned(include_gae=False))
+    t_gae = timed(scanned(include_gae=True))
+    t_full = timed(lambda i: jax.block_until_ready(full(state, env_params)))
+
+    report = {
+        "batch": BATCH,
+        "updates_per_call": REPS,
+        "env_steps_per_call": steps,
+        "phases_sec_per_update": {
+            "rollout": round(t_rollout / REPS, 6),
+            "gae": round(max(t_gae - t_rollout, 0.0) / REPS, 6),
+            "update_sweep_10ep_x_4mb": round(max(t_full - t_gae, 0.0) / REPS, 6),
+            "total": round(t_full / REPS, 6),
+        },
+        "train_env_steps_per_sec": round(steps / t_full, 1),
+    }
+    with open(out_path, "w") as fp:
+        json.dump(report, fp, indent=2)
+    print(json.dumps(report))
+
+
 def main():
     import sys
 
@@ -351,6 +477,9 @@ def main():
         return
     if "--all" in sys.argv:
         bench_all(config, params)
+        return
+    if "--train-profile" in sys.argv:
+        bench_train_profile(config, params)
         return
 
     try:

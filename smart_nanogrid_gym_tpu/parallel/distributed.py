@@ -200,6 +200,90 @@ def distributed_reset(
 
 
 # ---------------------------------------------------------------------------
+# sharded flagship kernel
+# ---------------------------------------------------------------------------
+
+
+def sharded_multiday_kernel_fn(
+    config: NanogridConfig,
+    mesh: Mesh,
+    num_days: int,
+    batch_per_device: int,
+    kernel: str = "rbc",
+    net_params=None,
+    axis_name: str = ENV_AXIS,
+    **kernel_kwargs,
+):
+    """Run the flagship fused Pallas multiday kernel over the env mesh — one
+    kernel instance per device under ``shard_map``.
+
+    The multiday kernels are embarrassingly parallel over the batch axis (the
+    in-kernel PRNG is seeded per program id, ops/pallas_gen_rollout.py:430), so
+    the multi-chip scaling unit IS the single-chip flagship kernel: each device
+    launches its own ``num_days × batch_per_device`` run and the per-env stats
+    come back sharded over the mesh with **zero collectives** (pinned by
+    tests/test_distributed.py / the TPU test in tests/test_tpu_kernels.py).
+
+    Per-device PRNG streams are disjoint by construction: device ``d`` of ``D``
+    runs block seeds ``[seed·(B·D) + d·B, seed·(B·D) + (d+1)·B)`` where ``B`` is
+    the kernel's per-device block count — on a 1-device mesh with one block
+    this reduces to the bare ``seed``, bit-identical to the unsharded call.
+
+    ``kernel``: ``"rbc"`` (pallas_gen_rbc_multiday) or ``"policy"``
+    (pallas_gen_policy_multiday; pass ``net_params`` and optional
+    ``mlp_dtype``/``actor`` kwargs).  Returns a jitted
+    ``run(params, seed) -> stats (8, batch_per_device · mesh.size)`` whose
+    output is sharded over ``axis_name``.  Requires real TPU devices (the
+    hardware PRNG has no CPU lowering).
+    """
+    from ..ops.pallas_gen_rollout import _pick_block
+
+    blocks = batch_per_device // _pick_block(batch_per_device, 4096)
+    stride = blocks * mesh.size
+
+    if kernel == "rbc":
+        from ..ops.pallas_gen_rollout import pallas_gen_rbc_multiday as _kern
+
+        def launch(p, dev_seed):
+            return _kern(config, p, num_days, dev_seed, batch_per_device,
+                         check_params=False)
+    elif kernel == "policy":
+        from ..ops.pallas_gen_policy_rollout import pallas_gen_policy_multiday
+
+        def launch(p, dev_seed):
+            return pallas_gen_policy_multiday(
+                config, p, net_params, num_days, dev_seed, batch_per_device,
+                check_params=False, **kernel_kwargs)
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}")
+
+    def device_body(p, seed):
+        shard = jax.lax.axis_index(axis_name)
+        dev_seed = seed * stride + shard * blocks
+        return launch(p, dev_seed)
+
+    sharded = jax.shard_map(
+        device_body,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(None, axis_name),
+        check_vma=False,
+    )
+    run = jax.jit(sharded)
+
+    def checked_run(params: NanogridParams, seed):
+        # the kernels bake reference constants; check eagerly here (inside
+        # shard_map the params are traced and cannot be checked)
+        from ..ops.param_guard import check_baked_params
+
+        check_baked_params(config, params, f"sharded_multiday:{kernel}",
+                           generation=True, battery_init=True)
+        return run(params, jnp.asarray(seed, jnp.int32))
+
+    return checked_run
+
+
+# ---------------------------------------------------------------------------
 # scaling-efficiency benchmark
 # ---------------------------------------------------------------------------
 
@@ -219,19 +303,29 @@ def scaling_sweep(
     num_days: int = 20,
     timed_calls: int = 3,
     mesh_sizes=None,
+    path: str = "auto",
 ) -> list[dict]:
     """Measure closed-loop rollout throughput vs mesh size (fixed per-device
     batch — weak scaling, the deployment regime) and report efficiency vs
     linear extrapolation of the 1-device number (BASELINE.md ≥80% north star).
 
+    ``path``: what each device runs.  ``"kernel"`` shards the flagship fused
+    Pallas multiday kernel (:func:`sharded_multiday_kernel_fn`) — the actual
+    single-chip headline path, so the sweep measures the deployment unit, not
+    a slower stand-in; ``"xla"`` shards the fused XLA rollout (the only option
+    where Pallas cannot run, e.g. CPU); ``"auto"`` picks kernel on TPU-like
+    devices and xla on CPU.
+
     Returns one record per mesh size:
-    ``{"devices", "global_batch", "steps_per_sec", "efficiency"}``.
+    ``{"devices", "global_batch", "steps_per_sec", "efficiency", "path"}``.
     """
     devices = list(devices if devices is not None else jax.devices())
     if mesh_sizes is None:
         mesh_sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
         if len(devices) not in mesh_sizes:
             mesh_sizes.append(len(devices))
+    if path == "auto":
+        path = "xla" if devices[0].platform == "cpu" else "kernel"
 
     steps_per_day = config.steps_per_day
     results = []
@@ -239,19 +333,32 @@ def scaling_sweep(
     for n in mesh_sizes:
         mesh = Mesh(np.asarray(devices[:n]), (ENV_AXIS,))
         global_batch = batch_per_device * n
-        bparams, states, obs = distributed_reset(config, params, mesh, global_batch)
-        rollout = sharded_rollout_fn(
-            config, mesh, _default_policy(config), num_steps=num_days * steps_per_day
-        )
-        day_keys = jax.random.split(jax.random.PRNGKey(1), num_days)
 
-        out = rollout(bparams, states, obs, day_keys)  # compile + warm-up
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(timed_calls):
-            out = rollout(bparams, states, obs, day_keys)
+        if path == "kernel":
+            # the flagship in-kernel-PRNG path: generation + policy + physics
+            # in one launch per device; days chosen by the caller to amortize
+            # dispatch exactly like bench.py's headline measurement
+            run = sharded_multiday_kernel_fn(
+                config, mesh, num_days, batch_per_device, kernel="rbc")
+            jax.block_until_ready(run(params, 0))  # compile + warm-up
+            t0 = time.perf_counter()
+            for i in range(timed_calls):
+                jax.block_until_ready(run(params, i + 1))
+            dt = time.perf_counter() - t0
+        else:
+            bparams, states, obs = distributed_reset(config, params, mesh, global_batch)
+            rollout = sharded_rollout_fn(
+                config, mesh, _default_policy(config), num_steps=num_days * steps_per_day
+            )
+            day_keys = jax.random.split(jax.random.PRNGKey(1), num_days)
+
+            out = rollout(bparams, states, obs, day_keys)  # compile + warm-up
             jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(timed_calls):
+                out = rollout(bparams, states, obs, day_keys)
+                jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
 
         rate = global_batch * steps_per_day * num_days * timed_calls / dt
         if base_rate is None:
@@ -262,6 +369,7 @@ def scaling_sweep(
                 "global_batch": global_batch,
                 "steps_per_sec": round(rate, 1),
                 "efficiency": round(rate / (base_rate * n / mesh_sizes[0]), 4),
+                "path": path,
             }
         )
     return results

@@ -265,36 +265,55 @@ class DDPGLearner:
             metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "envs"), metrics)
         return new_state, metrics
 
+    def _make_body(self):
+        """The un-jitted (optionally shard_map-ped) single-update body."""
+        if self.mesh is None:
+            return self._train_body
+        from jax.sharding import PartitionSpec as P
+
+        spec_env = P("envs")        # leading env axis
+        spec_buf = P(None, "envs")  # replay buffer: (capacity, B, ...)
+        state_specs = DDPGTrainState(
+            actor_params=P(), critic_params=P(),
+            target_actor_params=P(), target_critic_params=P(),
+            actor_opt=P(), critic_opt=P(),
+            buffer=ReplayBuffer(
+                obs=spec_buf, actions=spec_buf, rewards=spec_buf,
+                next_obs=spec_buf, dones=spec_buf,
+                insert_pos=P(), filled=P(),
+            ),
+            env_states=spec_env, last_obs=spec_env, ou_state=spec_env,
+            key=P(), update_step=P(),
+        )
+        return jax.shard_map(
+            self._train_body,
+            mesh=self.mesh,
+            in_specs=(state_specs, spec_env),
+            out_specs=(state_specs, P()),
+            check_vma=False,
+        )
+
     def build_train_step(self):
         if self._train_step is None:
-            if self.mesh is not None:
-                from jax.sharding import PartitionSpec as P
-
-                spec_env = P("envs")        # leading env axis
-                spec_buf = P(None, "envs")  # replay buffer: (capacity, B, ...)
-                state_specs = DDPGTrainState(
-                    actor_params=P(), critic_params=P(),
-                    target_actor_params=P(), target_critic_params=P(),
-                    actor_opt=P(), critic_opt=P(),
-                    buffer=ReplayBuffer(
-                        obs=spec_buf, actions=spec_buf, rewards=spec_buf,
-                        next_obs=spec_buf, dones=spec_buf,
-                        insert_pos=P(), filled=P(),
-                    ),
-                    env_states=spec_env, last_obs=spec_env, ou_state=spec_env,
-                    key=P(), update_step=P(),
-                )
-                body = jax.shard_map(
-                    self._train_body,
-                    mesh=self.mesh,
-                    in_specs=(state_specs, spec_env),
-                    out_specs=(state_specs, P()),
-                    check_vma=False,
-                )
-                self._train_step = jax.jit(body)
-            else:
-                self._train_step = jax.jit(self._train_body)
+            self._train_step = jax.jit(self._make_body())
         return self._train_step
+
+    def build_train_many(self, updates_per_call: int):
+        """One jitted program scanning ``updates_per_call`` full DDPG updates
+        (collect day + gradient sweep each) — amortizes the per-dispatch
+        round-trip exactly like PPOLearner.build_train_many (which documents
+        why: one update is ~ms of device work behind a ~27 ms tunnel
+        dispatch).  Returns ``train_many(state, env_params) -> (state,
+        metrics)`` with metrics stacked over the call's updates."""
+        body = self._make_body()
+
+        def train_many(state: DDPGTrainState, env_params):
+            def step(state, _):
+                return body(state, env_params)
+
+            return jax.lax.scan(step, state, length=updates_per_call)
+
+        return jax.jit(train_many)
 
     def train(self, state, num_updates, log_every=0):
         step_fn = self.build_train_step()

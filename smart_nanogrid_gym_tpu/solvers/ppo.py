@@ -303,6 +303,36 @@ class PPOLearner:
         """The jitted (optionally shard_map-ped) train step."""
         if self._train_step is not None:
             return self._train_step
+        self._train_step = jax.jit(self._make_train_step_body())
+        return self._train_step
+
+    def build_train_many(self, updates_per_call: int):
+        """One jitted program running ``updates_per_call`` full PPO updates
+        (rollout + GAE + the epoch×minibatch sweep each) via ``lax.scan``.
+
+        The single-update program is latency-bound at this model size: one
+        update is ~1 ms of device work behind a ~27 ms tunnel dispatch, so
+        stepping update-by-update measures the host round-trip, not the
+        learner.  Scanning updates inside one program amortizes dispatch the
+        same way the multiday kernels amortize it over days — this is also the
+        deployment shape (the reference's training run is 2,125 sequential
+        updates, solvers/RL/ppo_train.py:94-102).  Returns
+        ``train_many(state, env_params) -> (state, metrics)`` with metrics
+        stacked over the call's updates."""
+
+        def train_many(state: PPOTrainState, env_params):
+            single = self._make_train_step_body()
+
+            def body(state, _):
+                return single(state, env_params)
+
+            return jax.lax.scan(body, state, length=updates_per_call)
+
+        return jax.jit(train_many)
+
+    def _make_train_step_body(self):
+        """The un-jitted single-update body shared by build_train_step and
+        build_train_many."""
 
         def train_step(state: PPOTrainState, env_params) -> tuple[PPOTrainState, PPOMetrics]:
             key, sub = jax.random.split(state.key)
@@ -325,8 +355,7 @@ class PPOLearner:
                 metrics,
             )
 
-        self._train_step = jax.jit(train_step)
-        return self._train_step
+        return train_step
 
     # ---------------------------------------------------------------- driving --
 

@@ -32,6 +32,29 @@ def test_ddpg_train_step_runs():
     assert (acts >= low - 1e-6).all() and (acts <= high + 1e-6).all()
 
 
+def test_ddpg_train_many_matches_sequential_steps():
+    """The scanned multi-update program (build_train_many) is the exact
+    single-step body — N scanned updates equal N sequential calls bitwise."""
+    learner = DDPGLearner(CFG, DDPGConfig(buffer_days=4, gradient_steps=4, batch_size=64))
+    params = make_params(CFG, dtype=jnp.float32)
+    state0 = learner.init(jax.random.PRNGKey(2), params, batch_size=16)
+
+    step_fn = learner.build_train_step()
+    state_seq = state0
+    for _ in range(2):
+        state_seq, _ = step_fn(state_seq, learner.nanogrid_params_batched)
+
+    state_many, metrics = learner.build_train_many(2)(
+        state0, learner.nanogrid_params_batched)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state_seq.actor_params, state_many.actor_params,
+    )
+    assert int(state_many.update_step) == 2
+    assert metrics["critic_loss"].shape == (2,)
+
+
 def test_evaluator_same_day_fairness():
     params = make_params(CFG, dtype=jnp.float32)
     rbc = make_rbc_policy_fn(CFG)

@@ -128,6 +128,67 @@ def test_ppo_init_distributed_and_train_step(setup):
     assert np.isfinite(float(metrics.mean_return))
 
 
+def test_sharded_day_kernel_matches_unsharded_and_collective_free():
+    """The fused generation+RBC Pallas day kernel under shard_map over the
+    8-device mesh (interpret mode — the in-kernel-PRNG multiday variant is
+    TPU-only, but this explicit-uniform kernel shares its full step body):
+    per-env results equal to the unsharded call, and the sharded program
+    contains zero collectives — the multi-device form of the flagship kernel's
+    embarrassing parallelism (VERDICT r3 #1).
+
+    Tolerance note: interpret mode lowers the kernel body to ordinary XLA ops,
+    and the sharded/unsharded programs fuse (FMA-contract) differently on CPU,
+    so equality is to float32 rounding (<1e-6 rel), not bitwise; the real-TPU
+    twin (tests/test_tpu_kernels.py) IS bitwise because both launches run the
+    identical Mosaic kernel."""
+    from jax.sharding import PartitionSpec as P
+
+    from smart_nanogrid_gym_tpu.ops.pallas_gen_rollout import pallas_gen_rbc_day
+
+    config = NanogridConfig(num_chargers=8, pv_system=True, battery_system=True,
+                            penalty_mode="sparse")
+    params = make_params(config, dtype=jnp.float32)
+    T, N = config.steps_per_day, config.num_chargers
+    B = 1024  # 128 lanes per device on the 8-device mesh
+    k_u, k_s = jax.random.split(jax.random.PRNGKey(11))
+    u = jax.random.uniform(k_u, (T, 5, N, B), jnp.float32)
+    pv_shift = jnp.floor(jax.random.uniform(k_s, (B,), jnp.float32) * 181.0) / 100.0
+
+    rew_u, soc_u = pallas_gen_rbc_day(config, params, u, pv_shift, interpret=True)
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")), (ENV_AXIS,))
+
+    def body(u_shard, pv_shard):
+        return pallas_gen_rbc_day(config, params, u_shard, pv_shard, interpret=True)
+
+    run = jax.jit(jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, None, None, ENV_AXIS), P(ENV_AXIS)),
+        out_specs=(P(None, ENV_AXIS), P(None, ENV_AXIS)),
+        check_vma=False,
+    ))
+    rew_s, soc_s = run(u, pv_shift)
+
+    np.testing.assert_allclose(np.asarray(rew_s), np.asarray(rew_u),
+                               rtol=2e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(soc_s), np.asarray(soc_u),
+                               rtol=2e-6, atol=1e-6)
+    assert len(rew_s.sharding.device_set) == 8
+
+    hlo = run.lower(u, pv_shift).compile().as_text()
+    for comm_op in ("all-reduce", "all-gather", "collective-permute",
+                    "all-to-all", "reduce-scatter"):
+        assert comm_op not in hlo, f"unexpected collective {comm_op} in sharded kernel"
+
+
+def test_sharded_multiday_kernel_fn_rejects_unknown_kernel(setup):
+    config, _, cpus = setup
+    mesh = Mesh(np.asarray(cpus[:1]), (ENV_AXIS,))
+    with pytest.raises(ValueError, match="unknown kernel"):
+        D.sharded_multiday_kernel_fn(config, mesh, 1, 128, kernel="nope")
+
+
 def test_initialize_distributed_with_coordinator_in_fresh_process():
     """Regression (ADVICE r2): the wrapper must not touch the XLA backend
     before jax.distributed.initialize — probing jax.process_count() first

@@ -42,6 +42,33 @@ def test_sharded_train_step_runs_and_syncs():
     assert "all-reduce" in hlo
 
 
+def test_train_many_matches_sequential_steps():
+    """build_train_many's scanned body is the exact single-step body: N
+    scanned updates from a state must equal N sequential train_step calls
+    bitwise (same RNG flow through state.key) — so the amortized benchmark
+    path measures the same program the step-by-step trainer runs."""
+    learner = PPOLearner(ENV_CFG, PPOConfig(num_epochs=2, num_minibatches=2))
+    params = make_params(ENV_CFG, dtype=jnp.float32)
+    state0 = learner.init(jax.random.PRNGKey(3), params, batch_size=32)
+
+    step_fn = learner.build_train_step()
+    state_seq = state0
+    for _ in range(3):
+        state_seq, metrics_seq = step_fn(state_seq, learner.nanogrid_params_batched)
+
+    many = learner.build_train_many(3)
+    state_many, metrics_many = many(state0, learner.nanogrid_params_batched)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state_seq.params, state_many.params,
+    )
+    assert int(state_many.update_step) == 3
+    # stacked metrics: last row equals the last sequential step's metrics
+    np.testing.assert_array_equal(
+        np.asarray(metrics_many.mean_return[-1]), np.asarray(metrics_seq.mean_return))
+
+
 def test_training_improves_over_random():
     """A few updates on the dense-penalty config should beat the untrained
     policy (rewards are heavily shaped, so PPO picks up signal fast)."""

@@ -174,6 +174,44 @@ def test_policy_multiday_bf16_matmuls_match_f32_statistics():
     assert abs(std_b - std_f) / abs(std_f) < 0.02, stats
 
 
+def test_sharded_multiday_kernel_bit_identical_and_scaling_sweep():
+    """The multi-chip scaling unit IS the flagship kernel: the shard_map-ped
+    multiday kernel on a 1-TPU mesh must return bit-identical stats to the
+    direct single-device launch (per-device seed derivation reduces to the
+    bare seed at mesh size 1 / one block), and scaling_sweep(path="kernel")
+    must measure that same path end-to-end (VERDICT r3 #1).  Multi-device
+    semantics are pinned on the virtual CPU mesh by
+    tests/test_distributed.py::test_sharded_day_kernel_matches_unsharded_and_collective_free."""
+    from jax.sharding import Mesh
+
+    from smart_nanogrid_gym_tpu.ops.pallas_gen_rollout import pallas_gen_rbc_multiday
+    from smart_nanogrid_gym_tpu.parallel.distributed import (
+        scaling_sweep, sharded_multiday_kernel_fn)
+    from smart_nanogrid_gym_tpu.parallel.mesh import ENV_AXIS
+
+    config = _config()
+    DAYS = 200
+    with jax.default_device(_TPUS[0]):
+        params = make_params(config, dtype=jnp.float32)
+
+        direct = jax.block_until_ready(jax.jit(
+            lambda s: pallas_gen_rbc_multiday(config, params, DAYS, s, BATCH)
+        )(7))
+
+        mesh = Mesh(np.asarray(_TPUS[:1]), (ENV_AXIS,))
+        run = sharded_multiday_kernel_fn(config, mesh, DAYS, BATCH, kernel="rbc")
+        sharded = jax.block_until_ready(run(params, 7))
+
+        np.testing.assert_array_equal(np.asarray(sharded), np.asarray(direct))
+
+        records = scaling_sweep(
+            config, params, devices=_TPUS[:1], batch_per_device=BATCH,
+            num_days=DAYS, timed_calls=1, path="kernel")
+    assert records[0]["path"] == "kernel"
+    assert records[0]["steps_per_sec"] > 0
+    assert records[0]["efficiency"] == 1.0
+
+
 def test_ddpg_actor_multiday_kernel_runs_at_scale():
     """The fused multiday kernel with the DDPG actor head (400-300 relu torso,
     tanh squash — evaluate_policy_at_scale(algorithm='ddpg')): the MLP head is
