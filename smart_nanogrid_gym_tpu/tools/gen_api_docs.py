@@ -97,14 +97,22 @@ def _emit_object(out: io.StringIO, name: str, obj) -> None:
         p = _first_paragraph(obj.__doc__)
         if p:
             out.write(p + "\n\n")
-        for mname, meth in vars(obj).items():
-            if mname.startswith("_") or not callable(meth):
+        # walk the MRO so inherited public methods appear too (ADVICE r3),
+        # but stop at library bases (gym.Env, flax Module, NamedTuple, ...):
+        # only methods defined in THIS package are our documented surface
+        seen = set()
+        for klass in inspect.getmro(obj):
+            if not getattr(klass, "__module__", "").startswith("smart_nanogrid_gym_tpu"):
                 continue
-            fn = inspect.unwrap(getattr(obj, mname))
-            if not callable(fn):
-                continue
-            out.write(f"- `.{mname}{_signature(fn)}` — "
-                      f"{_first_paragraph(getattr(fn, '__doc__', '')) or '…'}\n")
+            for mname, meth in vars(klass).items():
+                if mname.startswith("_") or mname in seen or not callable(meth):
+                    continue
+                seen.add(mname)
+                fn = inspect.unwrap(getattr(obj, mname))
+                if not callable(fn):
+                    continue
+                out.write(f"- `.{mname}{_signature(fn)}` — "
+                          f"{_first_paragraph(getattr(fn, '__doc__', '')) or '…'}\n")
         out.write("\n")
     else:
         out.write(f"### `{name}{_signature(obj)}`\n\n")

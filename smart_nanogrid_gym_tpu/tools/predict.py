@@ -78,7 +78,13 @@ def main(argv=None):
             base = os.path.splitext(os.path.basename(zip_path))[0]
             parent = os.path.basename(os.path.dirname(os.path.abspath(zip_path)))
             tag = f"SB3-{parent}@{base}" if parent else f"SB3-{base}"
-            policies[tag] = ("PPO", lambda obs, key, p=sb3_policy: p(obs))
+            # two zips with the same parent-dir/basename must not silently
+            # overwrite each other in the policies dict (ADVICE r3)
+            unique, n = tag, 2
+            while unique in policies:
+                unique = f"{tag}#{n}"
+                n += 1
+            policies[unique] = ("PPO", lambda obs, key, p=sb3_policy: p(obs))
     if args.models_dir:
         learner = PPOLearner(env.config)
         from ..core import make_params
@@ -105,14 +111,16 @@ def main(argv=None):
             total += reward
         day_returns[name] = total
 
-    report = {"day_returns": day_returns,
-              "day_return": next(iter(day_returns.values())),
-              "output_dir": env._out_dir()}
+    report = {"day_returns": day_returns, "output_dir": env._out_dir()}
+    if len(day_returns) == 1:
+        # the single-policy scalar convenience; ambiguous (and therefore
+        # omitted) when several models ran — consumers read day_returns then
+        report["day_return"] = next(iter(day_returns.values()))
     if args.plot:
         plot_final_rewards(day_returns, args.plot)
         report["figure"] = args.plot
     print(json.dumps(report))
-    return report["day_return"]
+    return report.get("day_return", day_returns)
 
 
 def plot_final_rewards(day_returns: dict[str, float], out_path: str) -> str:

@@ -94,13 +94,22 @@ def test_predict_cli_plot_and_multi_model(tmp_path, capsys):
             "--with-rbc", "--plot", str(tmp_path / "bars.png")]
     expected = {"RBC"}
     if os.path.exists(sb3_zip):
-        argv += ["--sb3-zip", sb3_zip]
+        # passed twice: duplicate tags must be de-duplicated, not silently
+        # overwrite each other in the policies dict (ADVICE r3)
+        argv += ["--sb3-zip", sb3_zip, "--sb3-zip", sb3_zip]
         expected.add("SB3-PPO-b-pv-bounded-sparse-4ch-1h@999600")
+        expected.add("SB3-PPO-b-pv-bounded-sparse-4ch-1h@999600#2")
     ret = main(argv)
-    assert np.isfinite(ret)
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(out["day_returns"]) == expected
     assert all(np.isfinite(v) for v in out["day_returns"].values())
+    if len(expected) == 1:
+        assert np.isfinite(ret)
+        assert out["day_return"] == out["day_returns"]["RBC"]
+    else:
+        # multi-model: the ambiguous scalar is omitted (ADVICE r3)
+        assert "day_return" not in out
+        assert isinstance(ret, dict)
     fig = tmp_path / "bars.png"
     assert fig.exists() and fig.stat().st_size > 5_000
 
@@ -115,6 +124,22 @@ def test_api_docs_current():
         assert fp.read() == render(), (
             "docs/API.md is stale — run python -m "
             "smart_nanogrid_gym_tpu.tools.gen_api_docs")
+
+
+def test_readme_bench_table_current():
+    """README's benchmark table must match BENCH_TABLE.json (regenerate with
+    python -m smart_nanogrid_gym_tpu.tools.gen_bench_table) — the guard that
+    docs/API.md already has, closing round-1's stale-headline drift for good."""
+    from smart_nanogrid_gym_tpu.tools import gen_bench_table as g
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo_root, "README.md")) as fp:
+        text = fp.read()
+    start = text.index(g.START_MARK)
+    end = text.index(g.END_MARK) + len(g.END_MARK)
+    assert text[start:end] == g.render(g.load_table(repo_root)), (
+        "README bench table is stale — run python -m "
+        "smart_nanogrid_gym_tpu.tools.gen_bench_table")
 
 
 def test_gymnasium_registration():
@@ -147,8 +172,22 @@ def test_visualize_cli(tmp_path):
         for f in files:
             if f == "prediction_results.json":
                 results = os.path.join(root, f)
-    fig = viz_main(["--results", results, "--out", str(tmp_path / "fig.png")])
+    fig = viz_main(["--results", results, "--out", str(tmp_path / "fig.png"),
+                    "--html", str(tmp_path / "day.html")])
     assert os.path.exists(fig) and os.path.getsize(fig) > 10_000
+
+    # interactive self-contained HTML explorer (notebook-parity, no plotly):
+    # the embedded panel payload must parse and carry the full telemetry
+    import re
+
+    html = (tmp_path / "day.html").read_text()
+    panels = json.loads(re.search(r"const PANELS = (\[.*?\]);\n", html, re.S).group(1))
+    titles = {p["title"] for p in panels}
+    assert {"Actions", "Costs", "Vehicle penalties"} <= titles, titles
+    assert all(p["series"] and all(s["y"] for s in p["series"]) for p in panels)
+    js = html[html.index("<script>"):html.index("</script>")]
+    for a, b in ("()", "{}", "[]"):
+        assert js.count(a) == js.count(b), f"unbalanced {a}{b} in generated JS"
 
 
 def test_evaluate_models_root_scan(tmp_path):
