@@ -314,6 +314,19 @@ def bench_all(config, params, out_path="BENCH_TABLE.json"):
     results["pallas_gen_policy_multiday"] = _timeit(
         lambda i: jax.block_until_ready(pol_multiday(i)), BATCH * config.steps_per_day * 2_500)
 
+    # 5b. the bf16-MXU crossover: at a 256x256 actor torso the matmuls dominate
+    # and bf16 operands win (it LOSES at the default 64x64 — docs/PERFORMANCE.md
+    # §4; crossover pinned by tests/test_tpu_kernels.py)
+    big_net = ActorCritic(action_dim=config.num_actions, hidden=(256, 256))
+    big_params = big_net.init(jax.random.PRNGKey(0), jnp.zeros((1, config.obs_dim)))
+    for dt, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        run_big = jax.jit(_ft.partial(
+            pallas_gen_policy_multiday, config, params, big_params, 1_000,
+            batch=BATCH, mlp_dtype=dt))
+        results[f"pallas_gen_policy_multiday_256x256_{tag}"] = _timeit(
+            lambda i, r=run_big: jax.block_until_ready(r(i)),
+            BATCH * config.steps_per_day * 1_000)
+
     # 6. training updates — the reference's ACTUAL workload (1.02M env steps
     # of PPO training per script run, solvers/RL/ppo_train.py:94-102).
     # Measured two ways: scanned (updates_per_call scanned inside one program,

@@ -549,8 +549,24 @@ def pallas_gen_policy_multiday(
     S = rad_norm.shape[1]
     # the MLP matmuls want the widest possible lane block: (64, k)x(k, BLOCK)
     # keeps the MXU streaming (v5e, batch 4096: 1.82/2.24/2.31 B policy-steps/s
-    # at 1024/2048/4096 lanes)
-    BLOCK = _pick_block(batch, 4096)
+    # at 1024/2048/4096 lanes).  Hidden activations of the unrolled day live on
+    # the kernel's VMEM stack, which bounds the supported torso: measured on
+    # v5e, a 256x256 torso fits at 4096 lanes (and is where bf16 operands
+    # start winning — docs/PERFORMANCE.md §4), but a 512x512 torso wants
+    # 30.5 MB of scoped vmem against Mosaic's 16 MB limit and stays ~20 MB
+    # even at 1024 lanes (the live set is dominated by per-step activations of
+    # the unrolled day, not lane width), so torsos beyond 512 summed hidden
+    # units are rejected up front — the fused XLA engine path handles them.
+    # Measured anchors: 64x64 and 256x256 fit at 4096 lanes; the DDPG
+    # 400+300 torso fits at 512 lanes; 512x512 stays ~20 MB at any width.
+    h1, h2 = weights[0].shape[0], weights[2].shape[0]
+    hsum = h1 + h2
+    if hsum > 768:  # correctness guard — must survive python -O
+        raise ValueError(
+            f"pallas_gen_policy_multiday: actor torso {h1}x{h2} exceeds the "
+            "kernel's VMEM budget (512x512 measures ~20 MB scoped at any lane "
+            "width vs the 16 MB limit); use the fused XLA rollout instead")
+    BLOCK = _pick_block(batch, 4096 if hsum <= 512 else 512)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
 
     (stats,) = pl.pallas_call(

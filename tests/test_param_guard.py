@@ -76,3 +76,22 @@ def test_traced_params_raise_type_error():
 
     with pytest.raises(TypeError, match="traced"):
         f(params)
+
+
+def test_policy_multiday_rejects_oversized_torso():
+    """Actor torsos beyond the kernel's measured VMEM bound (512x512 wants
+    ~20 MB scoped vmem at any lane width vs Mosaic's 16 MB limit) must raise
+    a clear trace-time error pointing at the XLA engine path instead of
+    failing deep inside the Mosaic compiler."""
+    from smart_nanogrid_gym_tpu.ops.pallas_gen_policy_rollout import (
+        pallas_gen_policy_multiday)
+    from smart_nanogrid_gym_tpu.solvers.networks import ActorCritic
+
+    config = _config()
+    params = make_params(config, dtype=jnp.float32)
+    net = ActorCritic(action_dim=config.num_actions, hidden=(512, 512))
+    with jax.enable_x64(False):
+        net_params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, config.obs_dim)))
+        with pytest.raises(ValueError, match="VMEM"):
+            pallas_gen_policy_multiday(config, params, net_params, 10, 0, 128,
+                                       interpret=True)

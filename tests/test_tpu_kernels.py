@@ -174,6 +174,56 @@ def test_policy_multiday_bf16_matmuls_match_f32_statistics():
     assert abs(std_b - std_f) / abs(std_f) < 0.02, stats
 
 
+def test_policy_multiday_bf16_crossover_with_large_actor():
+    """The bf16 MXU option loses at the default 64x64 torso (docs/PERFORMANCE.md
+    §4: casts cost more than the matmuls save) but must WIN once the matmuls
+    dominate — measured on v5e at a 256x256 torso, batch 4096: 0.671B (bf16)
+    vs 0.645B (f32) steps/s.  This pins the crossover: same seed, same kernel,
+    operand dtype the only difference; bf16 must be at least as fast (best-of-5
+    timings) and statistically identical.  (Torsos beyond the kernel's VMEM
+    bound are rejected up front — tests/test_param_guard.py.)"""
+    from smart_nanogrid_gym_tpu.ops.pallas_gen_policy_rollout import (
+        pallas_gen_policy_multiday)
+    from smart_nanogrid_gym_tpu.solvers.networks import ActorCritic
+
+    config = _config()
+    B, DAYS = 4096, 1000
+    with jax.default_device(_TPUS[0]):
+        params = make_params(config, dtype=jnp.float32)
+        net = ActorCritic(action_dim=config.num_actions, hidden=(256, 256))
+        net_params = net.init(jax.random.PRNGKey(42), jnp.zeros((1, config.obs_dim)))
+        net_params = jax.tree.map(
+            lambda x: x + 0.05 if x.ndim == 1 else x, net_params
+        )
+
+        stats, times = {}, {}
+        for dtype in (jnp.float32, jnp.bfloat16):
+            run = jax.jit(functools.partial(
+                pallas_gen_policy_multiday, config, params, net_params,
+                DAYS, batch=B, mlp_dtype=dtype,
+            ))
+            out = jax.block_until_ready(run(0))
+            best = min(
+                _timed(lambda i=i: jax.block_until_ready(run(i)))
+                for i in range(1, 6)
+            )
+            times[dtype.__name__] = best
+            stats[dtype.__name__] = float(np.asarray(out[0]).sum() / (DAYS * B))
+
+    # distribution unchanged (bf16 rounds actions by ~2^-8, not returns)
+    assert abs(stats["bfloat16"] - stats["float32"]) / abs(stats["float32"]) < 0.005, stats
+    # the crossover: with a 256x256 torso the MXU savings beat the cast cost
+    assert times["bfloat16"] <= times["float32"] * 1.02, times
+
+
+def _timed(fn):
+    import time
+
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def test_sharded_multiday_kernel_bit_identical_and_scaling_sweep():
     """The multi-chip scaling unit IS the flagship kernel: the shard_map-ped
     multiday kernel on a 1-TPU mesh must return bit-identical stats to the
