@@ -255,21 +255,38 @@ class PPOLearner:
         _, _, last_value = self.network.apply(params, obs)
         advantages, returns = self._gae(t_rew, t_val, t_done, last_value)
 
-        # flatten (T, B_shard, ...) -> (T*B_shard, ...)
-        def flat(x):
-            return x.reshape((-1,) + x.shape[2:])
+        # Trajectory-wise minibatching: shuffle ENVS, not samples.  A uniform
+        # sample-level permutation of the flattened (T·B) rollout costs ~33 ms
+        # per update on TPU (row gathers of 98k×10-epoch random rows dominate
+        # the whole training step — measured round 4), while permuting the env
+        # axis gathers B rows of T·feat contiguous elements each: 24× fewer,
+        # 24× larger granules, ~µs-scale.  Each minibatch is then every step of
+        # a random env subset — SB3's RecurrentPPO sequence-minibatch scheme —
+        # re-drawn every epoch, with identical gradient expectation.
+        # (B, T, ...) env-major layout so the per-epoch gather is a leading-
+        # axis row gather, then minibatches are contiguous reshaped blocks.
+        def env_major(x):
+            return jnp.swapaxes(x, 0, 1)
 
-        batch = tuple(map(flat, (t_obs, t_act, t_logp, t_val, advantages, returns)))
-        n = batch[0].shape[0]
-        mb_size = n // self.ppo.num_minibatches
+        batch = tuple(map(env_major, (t_obs, t_act, t_logp, t_val, advantages, returns)))
+        n_envs = batch[0].shape[0]
+        # a shard smaller than num_minibatches (tiny tests) degrades to fewer,
+        # 1-env minibatches rather than empty ones
+        num_mb = min(self.ppo.num_minibatches, n_envs)
+        mb_envs = n_envs // num_mb
 
         def epoch(carry, key_e):
             params, opt_state = carry
-            perm = jax.random.permutation(key_e, n)
+            perm = jax.random.permutation(key_e, n_envs)[: mb_envs * num_mb]
+            # one leading-axis gather per epoch, then split into minibatch
+            # blocks of shape (mb_envs·T, feat...)
+            mbs = tuple(
+                x[perm].reshape((num_mb, -1) + x.shape[2:])
+                for x in batch
+            )
 
-            def minibatch(carry, idx):
+            def minibatch(carry, mb):
                 params, opt_state = carry
-                mb = tuple(x[idx] for x in batch)
                 (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(params, *mb)
                 if self.mesh is not None:
                     grads = jax.lax.pmean(grads, ENV_AXIS)
@@ -277,10 +294,7 @@ class PPOLearner:
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), aux
 
-            idxs = perm[: mb_size * self.ppo.num_minibatches].reshape(
-                self.ppo.num_minibatches, mb_size
-            )
-            (params, opt_state), auxs = jax.lax.scan(minibatch, (params, opt_state), idxs)
+            (params, opt_state), auxs = jax.lax.scan(minibatch, (params, opt_state), mbs)
             return (params, opt_state), auxs
 
         keys = jax.random.split(k_perm, self.ppo.num_epochs)
