@@ -136,6 +136,7 @@ def fused_day_rollout(
     collect_info: bool = False,
     policy_aux: bool = False,
     obs0: jnp.ndarray | None = None,
+    policy_xs=None,
 ):
     """Roll exactly one day over a batched state (leaves (B, ...)); state.t must
     be 0 (day start).  Returns ``(next_state, (obs, reward, done[, info][, aux]))``
@@ -144,6 +145,12 @@ def fused_day_rollout(
     With ``policy_aux=True`` the policy returns ``(actions, aux)`` and the
     stacked aux pytree is appended to the trajectory — this is how the PPO
     learner collects log-probs/values without a second forward pass.
+
+    ``policy_xs`` is an optional pytree of per-step policy inputs (leaves
+    ``(T, ...)``) sliced into the scan and passed as a third policy argument
+    ``policy_fn(obs, key_t, xs_t)`` — how the DDPG learner feeds its
+    precomputed Ornstein-Uhlenbeck noise sequence (the OU recurrence is
+    trajectory-independent, so it runs once outside the day scan).
 
     Produces results identical to 24 sequential :func:`..core.transition.step` calls
     (asserted in tests), including the day-end PV-shift redraw and battery
@@ -169,13 +176,18 @@ def fused_day_rollout(
 
     def body(carry, xs_and_key):
         prev_col, batt_soc, pmask, obs = carry
-        xs, key_t, t_idx = xs_and_key
+        if policy_xs is None:
+            xs, key_t, t_idx = xs_and_key
+            policy_args = (obs, key_t)
+        else:
+            xs, key_t, t_idx, p_xs = xs_and_key
+            policy_args = (obs, key_t, p_xs)
 
         if policy_aux:
-            actions, aux = policy_fn(obs, key_t)
+            actions, aux = policy_fn(*policy_args)
             actions = actions.astype(dtype)
         else:
-            actions = policy_fn(obs, key_t).astype(dtype)
+            actions = policy_fn(*policy_args).astype(dtype)
             aux = None
         charger_actions = actions[..., :N]
         battery_action = actions[..., -1] if config.battery_system else jnp.zeros(actions.shape[:-1], dtype)
@@ -267,7 +279,10 @@ def fused_day_rollout(
     state_pv_shift = state.pv_shift
     t_indices = jnp.arange(T)
     carry0 = (prev_col, state.batt_soc, state.pmask, obs0)
-    carry, outs = jax.lax.scan(body, carry0, (tables, step_keys, t_indices))
+    scan_xs = (tables, step_keys, t_indices)
+    if policy_xs is not None:
+        scan_xs = scan_xs + (policy_xs,)
+    carry, outs = jax.lax.scan(body, carry0, scan_xs)
     last_col, batt_soc_final, pmask_final, obs_final = carry
 
     aux_traj = None

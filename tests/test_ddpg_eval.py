@@ -123,3 +123,35 @@ def test_ddpg_training_improves_over_init():
     assert np.isfinite(trained_r)
     # measured: init ~-140, trained ~-98; require a clear improvement margin
     assert trained_r > init_r + 10.0, (init_r, trained_r)
+
+
+def test_ddpg_partial_day_collect_fallback():
+    """steps_per_update != steps_per_day takes the sequential-collect
+    fallback (the fused day scan only covers whole days); buffer accounting
+    and learning metrics must stay exact/finite on that path too."""
+    learner = DDPGLearner(
+        CFG, DDPGConfig(buffer_days=2, gradient_steps=2, batch_size=32,
+                        steps_per_update=12))
+    params = make_params(CFG, dtype=jnp.float32)
+    state = learner.init(jax.random.PRNGKey(4), params, batch_size=8)
+    state, history = learner.train(state, 2, log_every=1)
+    assert int(state.buffer.filled) == 2 * 12
+    assert int(state.buffer.insert_pos) == 2 * 12
+    for m in history:
+        assert all(np.isfinite(v) for v in m.values()), m
+
+
+def test_ddpg_fused_collect_buffer_wraparound():
+    """Whole-day block inserts stay block-aligned through capacity wraparound:
+    with a 2-day buffer, the 3rd collected day overwrites day 0 in place."""
+    learner = DDPGLearner(CFG, DDPGConfig(buffer_days=2, gradient_steps=2, batch_size=32))
+    params = make_params(CFG, dtype=jnp.float32)
+    state = learner.init(jax.random.PRNGKey(5), params, batch_size=8)
+    C = 2 * CFG.steps_per_day
+    state, _ = learner.train(state, 3)
+    assert int(state.buffer.filled) == C
+    assert int(state.buffer.insert_pos) == (3 * CFG.steps_per_day) % C
+    # the day-2 block (slots 24..47) still holds day-2 data: rewards finite,
+    # observations populated (non-zero rows)
+    assert np.isfinite(np.asarray(state.buffer.rewards)).all()
+    assert np.abs(np.asarray(state.buffer.obs)).sum() > 0.0
