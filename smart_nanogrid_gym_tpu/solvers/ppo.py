@@ -49,6 +49,16 @@ class PPOConfig:
     num_epochs: int = 10
     num_minibatches: int = 4
     rollout_days: int = 1  # days of rollout per update (T = 24·days steps)
+    # Matmul operand dtype for the update sweep's fwd/bwd passes (mixed
+    # precision: master params, optimizer state, and all loss/advantage math
+    # stay f32; only the network apply inside the loss casts params+inputs).
+    # None/f32 = full precision.  Measured on v5e at the SB3-default 64x64
+    # torso, bf16 LOSES (6.18 vs 5.87 ms/update at 4096 envs) — the same
+    # not-MXU-bound result as the rollout kernel's mlp_dtype option
+    # (docs/PERFORMANCE.md §4): casts cost more than the one-pass matmul
+    # saves.  The option exists for large custom torsos, where the §4
+    # crossover measurement shows bf16 winning.
+    update_matmul_dtype: object | None = None
 
 
 class PPOTrainState(NamedTuple):
@@ -234,7 +244,17 @@ class PPOLearner:
         return advantages, advantages + values
 
     def _loss(self, params, obs, actions, old_logp, old_values, advantages, returns):
-        mean, log_std, values = self.network.apply(params, obs)
+        mm = self.ppo.update_matmul_dtype
+        if mm is not None and mm != jnp.float32:
+            # mixed precision: cast params+obs for the apply only; grads flow
+            # back through the cast and accumulate into the f32 master params
+            p_mm = jax.tree.map(lambda x: x.astype(mm), params)
+            mean, log_std, values = self.network.apply(p_mm, obs.astype(mm))
+            mean = mean.astype(jnp.float32)
+            log_std = log_std.astype(jnp.float32)
+            values = values.astype(jnp.float32)
+        else:
+            mean, log_std, values = self.network.apply(params, obs)
         logp = _gaussian_logp(mean, log_std, actions)
         ratio = jnp.exp(logp - old_logp)
         norm_adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)

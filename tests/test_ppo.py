@@ -86,3 +86,26 @@ def test_training_improves_over_random():
     assert float(metrics.mean_return) > float(m0.mean_return), (
         float(m0.mean_return), float(metrics.mean_return),
     )
+
+
+def test_bf16_update_sweep_trains():
+    """update_matmul_dtype=bf16 (mixed precision: f32 master params, bf16
+    matmul operands inside the loss) must keep params f32, metrics finite,
+    and still learn.  Measured a LOSS on v5e at the SB3-default 64x64 torso
+    (see PPOConfig docstring) — the option targets large custom torsos."""
+    cfg = NanogridConfig(
+        num_chargers=4, pv_system=False, battery_system=False, penalty_mode="dense"
+    )
+    learner = PPOLearner(
+        cfg, PPOConfig(num_epochs=4, learning_rate=1e-3,
+                       update_matmul_dtype=jnp.bfloat16))
+    params = make_params(cfg, dtype=jnp.float32)
+    state = learner.init(jax.random.PRNGKey(1), params, batch_size=64)
+    step_fn = learner.build_train_step()
+    _, m0 = step_fn(state, learner.nanogrid_params_batched)
+    for _ in range(15):
+        state, metrics = step_fn(state, learner.nanogrid_params_batched)
+    # master params stay full precision — no bf16 leaks out of the loss
+    assert all(x.dtype != jnp.bfloat16 for x in jax.tree.leaves(state.params))
+    assert np.isfinite(list(metrics)).all()
+    assert float(metrics.mean_return) > float(m0.mean_return)
