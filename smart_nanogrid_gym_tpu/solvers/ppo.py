@@ -345,7 +345,7 @@ class PPOLearner:
         (rollout + GAE + the epoch×minibatch sweep each) via ``lax.scan``.
 
         The single-update program is latency-bound at this model size: one
-        update is ~1 ms of device work behind a ~27 ms tunnel dispatch, so
+        update is ~6 ms of device work behind a ~27 ms tunnel dispatch, so
         stepping update-by-update measures the host round-trip, not the
         learner.  Scanning updates inside one program amortizes dispatch the
         same way the multiday kernels amortize it over days — this is also the
