@@ -89,6 +89,9 @@ class DDPGLearner:
         self._action_low = jnp.asarray(low, dtype)
         self._action_high = jnp.asarray(high, dtype)
         self._train_step = None
+        # test hook: route whole-day collects through the sequential fallback
+        # so the fused path can be pinned against it (tests/test_ddpg_eval.py)
+        self._force_sequential_collect = False
 
     def init(self, key, nanogrid_params: NanogridParams, batch_size: int) -> DDPGTrainState:
         k_a, k_c, k_env, k_loop = jax.random.split(key, 4)
@@ -174,7 +177,7 @@ class DDPGLearner:
 
         ou_final, ou_seq = jax.lax.scan(ou_scan, ou0, gaussians)
 
-        if T == self.env_config.steps_per_day:
+        if T == self.env_config.steps_per_day and not self._force_sequential_collect:
             def policy_step(ob, key_t, ou_t):
                 a = self.actor.apply(state.actor_params, ob)
                 a = jnp.clip(a + ou_t, self._action_low, self._action_high)
@@ -228,9 +231,18 @@ class DDPGLearner:
         """Insert a whole (T, B, ...) day block at insert_pos.
 
         Capacity is a multiple of steps_per_day and whole-day inserts keep
-        ``insert_pos`` block-aligned, so the write never wraps mid-block."""
+        ``insert_pos`` block-aligned, so the write never wraps mid-block.
+        (``dynamic_update_slice_in_dim`` clamps out-of-range starts silently,
+        which would corrupt the buffer if the invariant broke — so it is
+        enforced at trace time, ADVICE r4.)"""
         T = t_obs.shape[0]
         C = buffer.obs.shape[0]
+        if C % T != 0:
+            raise ValueError(
+                f"replay capacity {C} must be a multiple of the day block {T}: "
+                "whole-day inserts assume block-aligned insert_pos (no mid-"
+                "block wrap); dynamic_update_slice would silently clamp"
+            )
         pos = buffer.insert_pos
         upd = lambda buf, x: jax.lax.dynamic_update_slice_in_dim(buf, x, pos, 0)
         return buffer._replace(

@@ -43,9 +43,15 @@ def evaluate_policies_same_days(
     leading batch axis).  Returns name -> per-day returns array of shape
     (num_days,).  Mirrors the reference evaluator's same-day fairness across
     models (solvers/evaluator.py:89-101) with days as the batch axis.
+
+    Policy-noise keys are derived from ``seed`` (fold-in, decorrelated from the
+    day-generation stream), so stochastic policies get fresh noise per distinct
+    seed while every policy inside one call still sees identical keys (paired
+    design).  Deterministic policies ignore the keys entirely.
     """
     key = jax.random.PRNGKey(seed)
     env_keys = jax.random.split(key, num_days)
+    policy_key = jax.random.fold_in(key, 0x9E3779B9)
     bparams = jax.tree.map(lambda x: jnp.broadcast_to(x, (num_days,) + x.shape), params)
     reset_fn = jax.jit(jax.vmap(functools.partial(core_reset, config)))
     states0, obs0 = reset_fn(bparams, env_keys, None, None)
@@ -63,7 +69,7 @@ def evaluate_policies_same_days(
 
         @jax.jit
         def rollout(states, obs):
-            keys = jax.random.split(jax.random.PRNGKey(0), config.steps_per_day)
+            keys = jax.random.split(policy_key, config.steps_per_day)
             (_, _), rewards = jax.lax.scan(body, (states, obs), keys)
             return rewards.sum(axis=0)
 
@@ -138,8 +144,11 @@ def predict_single_day(
 
     The stacked StepInfo carries every telemetry series the reference dumps to
     ``prediction_results.json`` (envs/smart_nanogrid_environment.py:246-275).
+    Policy-noise keys derive from ``seed`` (fold-in), so stochastic policies
+    get independent noise per distinct seed.
     """
     key = jax.random.PRNGKey(seed)
+    policy_key = jax.random.fold_in(key, 0x9E3779B9)
     state, obs = core_reset(config, params, key, schedule=schedule)
     if pv_shift is not None:
         state = state._replace(pv_shift=jnp.asarray(pv_shift, params.dtype))
@@ -152,7 +161,7 @@ def predict_single_day(
 
     @jax.jit
     def rollout(state, obs):
-        keys = jax.random.split(jax.random.PRNGKey(1), config.steps_per_day)
+        keys = jax.random.split(policy_key, config.steps_per_day)
         (_, _), (rewards, infos) = jax.lax.scan(body, (state, obs), keys)
         return rewards, infos
 

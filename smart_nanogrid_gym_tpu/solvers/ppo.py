@@ -281,8 +281,10 @@ class PPOLearner:
         # the whole training step — measured round 4), while permuting the env
         # axis gathers B rows of T·feat contiguous elements each: 24× fewer,
         # 24× larger granules, ~µs-scale.  Each minibatch is then every step of
-        # a random env subset — SB3's RecurrentPPO sequence-minibatch scheme —
-        # re-drawn every epoch, with identical gradient expectation.
+        # a random env subset — the same unbiased minibatch scheme as SB3's
+        # RecurrentPPO sequence minibatches — re-drawn every epoch.  (Not a
+        # bitwise equivalent of sample-level shuffling: per-minibatch advantage
+        # normalization and clipping are nonlinear in minibatch composition.)
         # (B, T, ...) env-major layout so the per-epoch gather is a leading-
         # axis row gather, then minibatches are contiguous reshaped blocks.
         def env_major(x):

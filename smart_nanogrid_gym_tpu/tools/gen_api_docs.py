@@ -97,21 +97,35 @@ def _emit_object(out: io.StringIO, name: str, obj) -> None:
         p = _first_paragraph(obj.__doc__)
         if p:
             out.write(p + "\n\n")
-        # walk the MRO so inherited public methods appear too (ADVICE r3),
-        # but stop at library bases (gym.Env, flax Module, NamedTuple, ...):
-        # only methods defined in THIS package are our documented surface
+        # walk the MRO so inherited public methods/properties appear too
+        # (ADVICE r3 / VERDICT r4 item 8).  Library bases are included when
+        # they ARE the documented contract (gymnasium.Env for the adapter);
+        # incidental framework bases (flax Module, NamedTuple/tuple, ...) are
+        # noise and stay excluded.
         seen = set()
         for klass in inspect.getmro(obj):
-            if not getattr(klass, "__module__", "").startswith("smart_nanogrid_gym_tpu"):
+            kmod = getattr(klass, "__module__", "")
+            if not kmod.startswith(("smart_nanogrid_gym_tpu", "gymnasium")):
                 continue
+            inherited = (
+                "" if klass is obj or kmod.startswith("smart_nanogrid_gym_tpu")
+                else f" *(inherited from `{kmod}.{klass.__name__}`)*"
+            )
             for mname, meth in vars(klass).items():
-                if mname.startswith("_") or mname in seen or not callable(meth):
+                if mname.startswith("_") or mname in seen:
+                    continue
+                if isinstance(meth, property):
+                    seen.add(mname)
+                    out.write(f"- `.{mname}` (property){inherited} — "
+                              f"{_first_paragraph(meth.__doc__) or '…'}\n")
+                    continue
+                if not callable(meth):
                     continue
                 seen.add(mname)
                 fn = inspect.unwrap(getattr(obj, mname))
                 if not callable(fn):
                     continue
-                out.write(f"- `.{mname}{_signature(fn)}` — "
+                out.write(f"- `.{mname}{_signature(fn)}`{inherited} — "
                           f"{_first_paragraph(getattr(fn, '__doc__', '')) or '…'}\n")
         out.write("\n")
     else:
