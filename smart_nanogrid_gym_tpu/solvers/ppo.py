@@ -59,6 +59,20 @@ class PPOConfig:
     # saves.  The option exists for large custom torsos, where the §4
     # crossover measurement shows bf16 winning.
     update_matmul_dtype: object | None = None
+    # The epoch×minibatch gradient sweep implementation:
+    #   "xla"    — the lax.scan sweep (jax.grad + optax per minibatch); the
+    #              default, required for multi-device meshes (per-step grad
+    #              pmean) and for torsos the kernel doesn't support;
+    #   "pallas" — ops/pallas_ppo_sweep.py: ALL grad steps in one kernel
+    #              launch, params+Adam resident in VMEM, hand-written
+    #              backward.  Removes XLA's ~100 µs-per-grad-step floor
+    #              (docs/PERFORMANCE.md §5).  Same minibatch composition
+    #              (identical permutation stream) and optimizer math; param
+    #              trajectories match the XLA sweep to f32 reduction-order
+    #              rounding (tests/test_ppo_sweep_kernel.py).
+    sweep_impl: str = "xla"
+    # run the sweep kernel in Pallas interpret mode (CPU tests only)
+    sweep_interpret: bool = False
 
 
 class PPOTrainState(NamedTuple):
@@ -83,6 +97,32 @@ def _gaussian_logp(mean, log_std, action):
     return jnp.sum(
         -0.5 * ((action - mean) ** 2 / var + 2 * log_std + jnp.log(2 * np.pi)), axis=-1
     )
+
+
+def _find_adam_state(state):
+    """Locate the ScaleByAdamState inside an optax chain state.
+
+    Returns ``(adam_state, rebuild)`` where ``rebuild(new_adam_state)``
+    reconstructs the full opt-state tree with the leaf replaced, or ``None``
+    if no Adam state exists (the sweep kernel owns the optimizer math, so it
+    must read/write optax's own count/mu/nu rather than shadow state)."""
+    if isinstance(state, optax.ScaleByAdamState):
+        return state, lambda new: new
+    if isinstance(state, (tuple, list)) and not hasattr(state, "shape"):
+        for i, sub in enumerate(state):
+            found = _find_adam_state(sub)
+            if found is not None:
+                inner, rebuild = found
+
+                def rb(new, i=i, state=state, rebuild=rebuild):
+                    items = list(state)
+                    items[i] = rebuild(new)
+                    if hasattr(state, "_fields"):
+                        return type(state)(*items)
+                    return type(state)(items)
+
+                return inner, rb
+    return None
 
 
 class PPOLearner:
@@ -297,6 +337,21 @@ class PPOLearner:
         num_mb = min(self.ppo.num_minibatches, n_envs)
         mb_envs = n_envs // num_mb
 
+        if self.ppo.sweep_impl == "pallas":
+            params, opt_state, metrics_g = self._pallas_sweep(
+                params, opt_state, batch, num_mb, mb_envs, k_perm)
+            steps_per_day = self.env_config.steps_per_day
+            day_returns = t_rew.reshape(
+                self.ppo.rollout_days, steps_per_day, -1).sum(axis=1)
+            metrics = PPOMetrics(
+                policy_loss=metrics_g[:, 0].mean(),
+                value_loss=metrics_g[:, 1].mean(),
+                entropy=metrics_g[:, 2].mean(),
+                approx_kl=metrics_g[:, 3].mean(),
+                mean_return=day_returns.mean(),
+            )
+            return params, opt_state, env_states, obs, metrics
+
         def epoch(carry, key_e):
             params, opt_state = carry
             perm = jax.random.permutation(key_e, n_envs)[: mb_envs * num_mb]
@@ -334,6 +389,67 @@ class PPOLearner:
         if self.mesh is not None:
             metrics = jax.tree.map(lambda m: jax.lax.pmean(m, ENV_AXIS), metrics)
         return params, opt_state, env_states, obs, metrics
+
+    def _pallas_sweep(self, params, opt_state, batch, num_mb, mb_envs, k_perm):
+        """Run the epoch×minibatch sweep via the whole-sweep Pallas kernel
+        (ops/pallas_ppo_sweep.py): identical permutation stream and optimizer
+        math as the XLA scan, all grad steps in one launch.
+
+        The minibatch tensors are pre-gathered here in (G, feat, M) layout
+        (samples in the kernel's lane axis) and advantages pre-normalized per
+        minibatch — both data-only transforms.  Single-device only: the kernel
+        applies Adam locally, so a >1-device mesh (which needs a per-step grad
+        pmean) must use sweep_impl="xla"."""
+        from ..ops.pallas_ppo_sweep import SweepHypers, ppo_sweep_pallas
+
+        if self.mesh is not None and self.mesh.size > 1:
+            raise ValueError(
+                "sweep_impl='pallas' supports single-device training only "
+                "(the kernel applies Adam locally; a multi-device mesh needs "
+                "the per-step gradient pmean of the XLA sweep)")
+        t_obs, t_act, t_logp, _t_val, advantages, returns = batch
+        n_envs, T = t_obs.shape[0], t_obs.shape[1]
+        E = self.ppo.num_epochs
+        G, M = E * num_mb, mb_envs * T
+
+        keys = jax.random.split(k_perm, E)
+        perms = jax.vmap(
+            lambda k: jax.random.permutation(k, n_envs)[: mb_envs * num_mb]
+        )(keys)                                        # (E, mb_envs·num_mb)
+
+        def gather_feat(x):                            # (B, T, F) -> (G, F, M)
+            F = x.shape[2]
+            sel = x[perms]                             # (E, sel, T, F)
+            sel = sel.reshape(E, num_mb, mb_envs, T, F)
+            return sel.transpose(0, 1, 4, 2, 3).reshape(G, F, M)
+
+        def gather_row(x):                             # (B, T) -> (G, M)
+            return x[perms].reshape(E, num_mb, M).reshape(G, M)
+
+        obs_g = gather_feat(t_obs)
+        act_g = gather_feat(t_act)
+        logp_g = gather_row(t_logp)
+        adv_g = gather_row(advantages)
+        ret_g = gather_row(returns)
+        nadv_g = (adv_g - adv_g.mean(axis=1, keepdims=True)) / (
+            adv_g.std(axis=1, keepdims=True) + 1e-8)
+
+        found = _find_adam_state(opt_state)
+        if found is None:
+            raise ValueError("sweep_impl='pallas' requires an optax Adam state")
+        adam, rebuild = found
+        hp = SweepHypers(
+            lr=self.ppo.learning_rate, clip_eps=self.ppo.clip_eps,
+            vf_coef=self.ppo.vf_coef, ent_coef=self.ppo.entropy_coef,
+            max_grad_norm=self.ppo.max_grad_norm,
+        )
+        new_params, count, mu, nu, metrics_g = ppo_sweep_pallas(
+            params, adam.count, adam.mu, adam.nu,
+            obs_g, act_g, logp_g, nadv_g, ret_g, hp,
+            interpret=self.ppo.sweep_interpret,
+        )
+        new_opt = rebuild(optax.ScaleByAdamState(count=count, mu=mu, nu=nu))
+        return new_params, new_opt, metrics_g
 
     def build_train_step(self):
         """The jitted (optionally shard_map-ped) train step."""

@@ -1,0 +1,154 @@
+"""Parity tests for the whole-sweep PPO update kernel (ops/pallas_ppo_sweep).
+
+The kernel hand-writes the actor-critic backward pass and the optax
+clip+Adam math; these tests pin it against the ground truth — jax.grad +
+optax inside the XLA sweep (solvers/ppo.py) — in Pallas interpret mode on
+CPU (the kernel uses no hardware PRNG, so interpret mode covers the full
+body; the real-TPU launch runs the identical trace through Mosaic).
+
+Tolerances: the kernel accumulates gradients feature-major with lane
+reductions while XLA reduces sample-major, so gradients agree to f32
+reduction-order rounding.  A single optimizer step (G=1) is compared at
+rtol 1e-5 (VERDICT r4 item 1's bar); a full 2-epoch sweep compounds ~4
+steps of that rounding through Adam and is compared at 1e-4.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smart_nanogrid_gym_tpu.core import NanogridConfig, make_params
+from smart_nanogrid_gym_tpu.solvers.ppo import PPOConfig, PPOLearner
+
+CFG = NanogridConfig(num_chargers=4, pv_system=True, battery_system=True)
+
+
+def _learner_pair(**ppo_kwargs):
+    xla = PPOLearner(CFG, PPOConfig(sweep_impl="xla", **ppo_kwargs))
+    pal = PPOLearner(
+        CFG, PPOConfig(sweep_impl="pallas", sweep_interpret=True, **ppo_kwargs))
+    params = make_params(CFG, dtype=jnp.float32)
+    state = xla.init(jax.random.PRNGKey(0), params, batch_size=16)
+    # the pallas learner shares the identical initial state (same seed path)
+    state_p = pal.init(jax.random.PRNGKey(0), params, batch_size=16)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.params, state_p.params)
+    return xla, pal, state
+
+
+def _tree_allclose(a, b, rtol, atol=1e-7, msg=""):
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x, np.float64), np.asarray(y, np.float64),
+            rtol=rtol, atol=atol, err_msg=msg),
+        a, b)
+
+
+def test_single_grad_step_matches_optax_at_1e5():
+    """G=1 (one epoch, one minibatch): the kernel's hand-written backward +
+    clip_by_global_norm + Adam must reproduce jax.grad + optax through one
+    full optimizer step at rtol 1e-5 — gradient-level parity measured through
+    the optimizer (the kernel does not expose raw gradients)."""
+    xla, pal, state = _learner_pair(num_epochs=1, num_minibatches=1)
+    sx, mx = xla.build_train_step()(state, xla.nanogrid_params_batched)
+    sp, mp = pal.build_train_step()(state, pal.nanogrid_params_batched)
+    _tree_allclose(sx.params, sp.params, rtol=1e-5, msg="params after 1 step")
+    _tree_allclose(sx.opt_state, sp.opt_state, rtol=1e-5, atol=1e-9,
+                   msg="adam state after 1 step")
+    for name in ("policy_loss", "value_loss", "entropy", "approx_kl"):
+        np.testing.assert_allclose(
+            float(getattr(mx, name)), float(getattr(mp, name)),
+            rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_full_sweep_matches_xla_path():
+    """A 2-epoch × 2-minibatch sweep (G=4 sequential grad steps, identical
+    permutation stream) matches the XLA scan end-to-end."""
+    xla, pal, state = _learner_pair(num_epochs=2, num_minibatches=2)
+    sx, mx = xla.build_train_step()(state, xla.nanogrid_params_batched)
+    sp, mp = pal.build_train_step()(state, pal.nanogrid_params_batched)
+    _tree_allclose(sx.params, sp.params, rtol=1e-4, atol=1e-6,
+                   msg="params after sweep")
+    np.testing.assert_allclose(float(mx.mean_return), float(mp.mean_return),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(mx.approx_kl), float(mp.approx_kl),
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_sweep_kernel_bit_stable():
+    """Two identical invocations produce bitwise-identical params and metrics
+    (deterministic kernel: no PRNG, fixed reduction order)."""
+    _, pal, state = _learner_pair(num_epochs=2, num_minibatches=2)
+    step = pal.build_train_step()
+    s1, m1 = step(state, pal.nanogrid_params_batched)
+    s2, m2 = step(state, pal.nanogrid_params_batched)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        (s1.params, s1.opt_state, m1), (s2.params, s2.opt_state, m2))
+
+
+def test_chunked_streaming_matches_single_chunk():
+    """Forcing multiple row chunks (gradient accumulation across streamed
+    chunks) agrees with the single-chunk launch to f32 accumulation order."""
+    from smart_nanogrid_gym_tpu.ops.pallas_ppo_sweep import (
+        SweepHypers, _pick_chunk, ppo_sweep_pallas)
+
+    key = jax.random.PRNGKey(3)
+    F, A, M, G = 25, 9, 96, 3
+    from smart_nanogrid_gym_tpu.solvers.networks import ActorCritic
+    net = ActorCritic(action_dim=A)
+    params = net.init(key, jnp.zeros((1, F), jnp.float32))
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    ks = jax.random.split(key, 5)
+    obs_g = jax.random.normal(ks[0], (G, F, M), jnp.float32)
+    act_g = jax.random.normal(ks[1], (G, A, M), jnp.float32)
+    logp_g = jax.random.normal(ks[2], (G, M), jnp.float32)
+    adv_g = jax.random.normal(ks[3], (G, M), jnp.float32)
+    ret_g = jax.random.normal(ks[4], (G, M), jnp.float32)
+    nadv_g = (adv_g - adv_g.mean(axis=1, keepdims=True)) / (
+        adv_g.std(axis=1, keepdims=True) + 1e-8)
+    hp = SweepHypers(lr=3e-4, clip_eps=0.2, vf_coef=0.5, ent_coef=0.0,
+                     max_grad_norm=0.5)
+
+    run = functools.partial(
+        ppo_sweep_pallas, params, jnp.int32(0), zeros, zeros,
+        obs_g, act_g, logp_g, nadv_g, ret_g, hp, interpret=True)
+    p1, c1, mu1, nu1, met1 = run()
+    p2, c2, mu2, nu2, met2 = run(chunk_override=M // 4)
+    assert int(c1) == int(c2) == G
+    _tree_allclose(p1, p2, rtol=1e-5, atol=1e-7, msg="chunked params")
+    _tree_allclose(met1, met2, rtol=1e-4, atol=1e-6, msg="chunked metrics")
+
+
+def test_sweep_kernel_rejects_unsupported_shapes():
+    """Nets that aren't 2-hidden-layer MLPs and multi-device meshes fall back
+    loudly (trace-time ValueError) rather than computing the wrong thing."""
+    from smart_nanogrid_gym_tpu.ops.pallas_ppo_sweep import _flatten_actor_critic
+
+    bad = {"params": {
+        "log_std": jnp.zeros((9,)),
+        "pi": {f"Dense_{i}": {"kernel": jnp.zeros((4, 4)),
+                              "bias": jnp.zeros((4,))} for i in range(4)},
+        "vf": {f"Dense_{i}": {"kernel": jnp.zeros((4, 4)),
+                              "bias": jnp.zeros((4,))} for i in range(3)},
+    }}
+    with pytest.raises(ValueError, match="2 hidden layers"):
+        _flatten_actor_critic(bad)
+
+    import numpy as _np
+    from jax.sharding import Mesh
+    cpus = jax.devices("cpu")
+    if len(cpus) >= 2:
+        mesh = Mesh(_np.asarray(cpus[:2]), ("envs",))
+        learner = PPOLearner(
+            CFG, PPOConfig(sweep_impl="pallas", sweep_interpret=True,
+                           num_epochs=1, num_minibatches=1), mesh=mesh)
+        params = make_params(CFG, dtype=jnp.float32)
+        state = learner.init(jax.random.PRNGKey(0), params, batch_size=8)
+        with pytest.raises(ValueError, match="single-device"):
+            learner.build_train_step()(state, learner.nanogrid_params_batched)
