@@ -25,9 +25,11 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import functools
 import json
+import sys
 import time
 
 import jax
+import numpy as np
 
 # Persistent compile cache: the fused multi-day program takes minutes to build
 # over the tunneled-TPU toolchain on first compile; cached runs start in seconds.
@@ -90,23 +92,55 @@ def xla_day_return_stats(config, params, batch, num_calls, seed0=1000):
     return mean, var ** 0.5, n
 
 
-def check_multiday_stats(mean, std, config, params, label):
+def stats_bounds(ref_mean, ref_std, n_kernel, n_oracle, z=6.0):
+    """Derived tolerance for the kernel-vs-oracle day-return cross-check
+    (VERDICT r4 item 5: bounds from the measured distribution, not eyeballed).
+
+    The mean difference of two independent sample means has standard error
+    ``σ·sqrt(1/n_k + 1/n_o)``; the sample-std difference has (normal-theory)
+    standard error ``σ·sqrt(1/(2n_k) + 1/(2n_o))``.  Bounds are ``z=6`` of
+    those (false-trip probability ~1e-9 under normality), floored at the
+    legacy 1%/3% relative tolerances so the check never becomes TIGHTER than
+    what real distribution bugs were previously caught by — day returns are
+    penalty-heavy-tailed, so the normal-theory std error is a lower bound.
+    Returns ``(mean_tol, std_tol)`` as absolute tolerances."""
+    se_mean = ref_std * (1.0 / n_kernel + 1.0 / n_oracle) ** 0.5
+    se_std = ref_std * (0.5 / n_kernel + 0.5 / n_oracle) ** 0.5
+    return max(z * se_mean, 0.01 * abs(ref_mean)), max(z * se_std, 0.03 * ref_std)
+
+
+def check_multiday_stats(kernel_stats_fn, n_kernel, config, params, label,
+                         max_attempts=3):
     """Cross-check a multiday kernel's day-return statistics against the XLA
-    engine on matched seeds/statistics: mean to <1%, std to <3% (the old check
-    was a ±30% band).  ~200k oracle days → standard error of the oracle mean
-    ≈ std/sqrt(n) ≈ 0.07%, far inside the tolerance."""
-    ref_mean, ref_std, n = xla_day_return_stats(config, params, BATCH, num_calls=1)
-    mean_err = abs(mean - ref_mean) / abs(ref_mean)
-    std_err = abs(std - ref_std) / abs(ref_std)
-    assert mean_err < 0.01, (
-        f"{label}: mean day return {mean:.2f} vs XLA engine {ref_mean:.2f} "
-        f"({mean_err:.2%} off, n={n})"
+    engine with derived bounds (:func:`stats_bounds`) and median-of-k retry:
+    attempt 1 compares a single draw (the fast path); on failure both sides are
+    re-drawn with DISTINCT seeds and the medians compared — a genuine
+    distribution bug fails every draw, while a tunnel mis-measure (CLAUDE.md:
+    impossibly-fast timings class) or a statistical tail cannot survive the
+    median.  ``kernel_stats_fn(attempt) -> (mean, std)`` must use a fresh seed
+    per attempt."""
+    k_draws, o_draws = [], []
+    for attempt in range(max_attempts):
+        k_draws.append(kernel_stats_fn(attempt))
+        o_draws.append(xla_day_return_stats(config, params, BATCH, num_calls=1,
+                                            seed0=1000 + 100 * attempt)[:2])
+        mean = float(np.median([m for m, _ in k_draws]))
+        std = float(np.median([s for _, s in k_draws]))
+        ref_mean = float(np.median([m for m, _ in o_draws]))
+        ref_std = float(np.median([s for _, s in o_draws]))
+        n_oracle = 50 * BATCH
+        mean_tol, std_tol = stats_bounds(ref_mean, ref_std, n_kernel, n_oracle)
+        if abs(mean - ref_mean) < mean_tol and abs(std - ref_std) < std_tol:
+            return ref_mean, ref_std
+        print(f"# {label}: attempt {attempt + 1}/{max_attempts} outside bounds "
+              f"(mean {mean:.2f} vs {ref_mean:.2f} tol {mean_tol:.2f}; "
+              f"std {std:.2f} vs {ref_std:.2f} tol {std_tol:.2f}) — redrawing",
+              file=sys.stderr)
+    raise AssertionError(
+        f"{label}: day-return stats diverge from the XLA engine after "
+        f"{max_attempts} median-combined draws: mean {mean:.2f} vs {ref_mean:.2f} "
+        f"(tol {mean_tol:.2f}), std {std:.2f} vs {ref_std:.2f} (tol {std_tol:.2f})"
     )
-    assert std_err < 0.03, (
-        f"{label}: day-return std {std:.2f} vs XLA engine {ref_std:.2f} "
-        f"({std_err:.2%} off, n={n})"
-    )
-    return ref_mean, ref_std
 
 
 def bench_pallas_multiday(config, params):
@@ -128,11 +162,14 @@ def bench_pallas_multiday(config, params):
         var = stats[1].sum() / total - mean * mean
         return mean, jnp.sqrt(jnp.maximum(var, 0.0))
 
-    mean_ret, std_ret = map(float, jax.block_until_ready(run_days(0)))
-    # Statistical cross-check vs the XLA engine (mean <1%, std <3% over
-    # 160M kernel days vs 204k oracle days) — catches degenerate physics or
-    # PRNG in the in-kernel-generation path far tighter than a band assert.
-    check_multiday_stats(mean_ret, std_ret, config, params, "pallas_gen_rbc_multiday")
+    # Statistical cross-check vs the XLA engine (derived bounds + median-of-3
+    # retry, see check_multiday_stats) — catches degenerate physics or PRNG in
+    # the in-kernel-generation path; a fresh PRNG seed per attempt.
+    def kernel_stats(attempt):
+        return tuple(map(float, jax.block_until_ready(run_days(50_000 + attempt))))
+
+    check_multiday_stats(kernel_stats, DAYS * BATCH, config, params,
+                         "pallas_gen_rbc_multiday")
 
     t0 = time.perf_counter()
     for i in range(NUM_CALLS_TIMED):
@@ -215,11 +252,60 @@ def bench_scaling(config, params, out_path="SCALING.json"):
         )
         payload["cpu_virtual"] = {"records": records, "virtual": True}
         print(json.dumps({"platform": "cpu_virtual", "records": records}))
+    else:
+        # the bench process itself sees one CPU device; spawn a child with 8
+        # virtual CPU devices so SCALING.json always carries a measured
+        # multi-device (xla-path) record.  Tagged virtual: the devices
+        # time-slice the same physical cores, so "efficiency" validates the
+        # sharding machinery, not hardware scaling.
+        records = _virtual_cpu_scaling_records()
+        if records:
+            payload["cpu_virtual"] = {"records": records, "virtual": True}
+            print(json.dumps({"platform": "cpu_virtual", "records": records}))
     write_scaling_report(
         payload.get("tpu", payload.get("cpu_virtual", {})).get("records", []),
         out_path,
         meta={"platforms": payload},
     )
+
+
+def _virtual_cpu_scaling_records(n_devices: int = 8):
+    """scaling_sweep(path="xla") on a child process with ``n_devices`` virtual
+    CPU devices (xla_force_host_platform_device_count — same mechanism as
+    tests/conftest.py and the driver's dryrun).  Returns the records list, or
+    [] if the child fails (never breaks the bench)."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import json\n"
+        "import jax\n"
+        "jax.config.update('jax_default_device', jax.devices('cpu')[0])\n"
+        "from smart_nanogrid_gym_tpu.core import NanogridConfig, make_params\n"
+        "from smart_nanogrid_gym_tpu.parallel.distributed import scaling_sweep\n"
+        "config = NanogridConfig()\n"
+        "params = make_params(config)\n"
+        "records = scaling_sweep(config, params, devices=jax.devices('cpu'),\n"
+        "                        batch_per_device=256, num_days=4, path='xla')\n"
+        "print('SCALING_RECORDS=' + json.dumps(records))\n"
+    )
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        f" --xla_force_host_platform_device_count={n_devices}").strip()
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True,
+            text=True, timeout=1200, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("SCALING_RECORDS="):
+                return json.loads(line.split("=", 1)[1])
+        print("# virtual-CPU scaling child produced no records:",
+              out.stderr[-500:], file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"# virtual-CPU scaling child failed: {exc}", file=sys.stderr)
+    return []
 
 
 def _timeit(fn, work_steps, calls=3):

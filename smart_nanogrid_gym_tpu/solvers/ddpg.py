@@ -39,6 +39,13 @@ class DDPGConfig:
     ou_dt: float = 1e-2            # SB3 OrnsteinUhlenbeckActionNoise default
     steps_per_update: int = 24     # env steps collected per train call (one day)
     gradient_steps: int = 24
+    # gradient-sweep implementation: "xla" (lax.scan of jax.grad + optax — the
+    # default, required for >1-device meshes) or "pallas"
+    # (ops/pallas_ddpg_sweep.py: all gradient steps, both networks, targets
+    # and Adam states resident in VMEM in ONE launch; bitwise-identical replay
+    # sampling, parity pinned by tests/test_ddpg_sweep_kernel.py)
+    sweep_impl: str = "xla"
+    sweep_interpret: bool = False  # run the kernel interpreted (CPU tests)
 
 
 class ReplayBuffer(NamedTuple):
@@ -280,6 +287,10 @@ class DDPGLearner:
         gamma = self.cfg.gamma
         tau = self.cfg.tau
 
+        if self.cfg.sweep_impl == "pallas":
+            return self._pallas_sweep(state, env_states, obs, ou, buffer,
+                                      rewards, k_grad, key)
+
         def gradient_step(carry, key_g):
             actor_params, critic_params, t_actor, t_critic, a_opt, c_opt = carry
             b_obs, b_act, b_rew, b_next, b_done = self._sample(buffer, key_g)
@@ -335,6 +346,73 @@ class DDPGLearner:
         if self.mesh is not None:
             metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "envs"), metrics)
         return new_state, metrics
+
+    def _pallas_sweep(self, state: DDPGTrainState, env_states, obs, ou,
+                      buffer: ReplayBuffer, rewards, k_grad, new_key):
+        """Gradient sweep via the whole-sweep Pallas kernel
+        (ops/pallas_ddpg_sweep.py).  Replay sampling reuses the XLA scan's
+        exact key schedule (split(k_grad, G) then split → two randints per
+        step), so the kernel consumes bitwise-identical minibatches; both
+        networks, targets, and Adam states stay VMEM-resident across all G
+        steps.  Single-device only (the kernel applies Adam locally)."""
+        from ..ops.pallas_ddpg_sweep import DDPGSweepHypers, ddpg_sweep_pallas
+        from .ppo import _find_adam_state
+
+        if self.mesh is not None and self.mesh.size > 1:
+            raise ValueError(
+                "sweep_impl='pallas' supports single-device training only "
+                "(the kernel applies Adam locally; a multi-device mesh needs "
+                "the per-step gradient pmean of the XLA sweep)")
+
+        B_env = buffer.obs.shape[1]
+        keys = jax.random.split(k_grad, self.cfg.gradient_steps)
+
+        def draw(key_g):
+            k1, k2 = jax.random.split(key_g)
+            t_idx = jax.random.randint(
+                k1, (self.cfg.batch_size,), 0, jnp.maximum(buffer.filled, 1))
+            b_idx = jax.random.randint(k2, (self.cfg.batch_size,), 0, B_env)
+            return t_idx, b_idx
+
+        t_idx, b_idx = jax.vmap(draw)(keys)          # (G, batch_size)
+        b_obs = buffer.obs[t_idx, b_idx]
+        b_act = buffer.actions[t_idx, b_idx]
+        b_rew = buffer.rewards[t_idx, b_idx]
+        b_next = buffer.next_obs[t_idx, b_idx]
+        b_done = buffer.dones[t_idx, b_idx].astype(self.dtype)
+
+        found_a = _find_adam_state(state.actor_opt)
+        found_c = _find_adam_state(state.critic_opt)
+        if found_a is None or found_c is None:
+            raise ValueError("sweep_impl='pallas' requires optax Adam states")
+        a_adam, a_rebuild = found_a
+        c_adam, c_rebuild = found_c
+        hp = DDPGSweepHypers(lr=self.cfg.learning_rate, gamma=self.cfg.gamma,
+                             tau=self.cfg.tau)
+        (actor, critic, t_actor, t_critic,
+         (a_count, a_mu, a_nu), (c_count, c_mu, c_nu), metrics) = \
+            ddpg_sweep_pallas(
+                state.actor_params, state.critic_params,
+                state.target_actor_params, state.target_critic_params,
+                a_adam.count, a_adam.mu, a_adam.nu,
+                c_adam.count, c_adam.mu, c_adam.nu,
+                b_obs, b_act, b_rew, b_next, b_done,
+                self._action_low, self._action_high, hp,
+                interpret=self.cfg.sweep_interpret,
+            )
+        a_opt = a_rebuild(optax.ScaleByAdamState(count=a_count, mu=a_mu, nu=a_nu))
+        c_opt = c_rebuild(optax.ScaleByAdamState(count=c_count, mu=c_mu, nu=c_nu))
+
+        new_state = DDPGTrainState(
+            actor, critic, t_actor, t_critic, a_opt, c_opt,
+            buffer, env_states, obs, ou, new_key, state.update_step + 1,
+        )
+        out_metrics = {
+            "critic_loss": metrics[:, 0].mean(),
+            "actor_loss": metrics[:, 1].mean(),
+            "mean_return": rewards.sum(axis=0).mean(),
+        }
+        return new_state, out_metrics
 
     def _make_body(self):
         """The un-jitted (optionally shard_map-ped) single-update body."""

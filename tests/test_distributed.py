@@ -203,6 +203,59 @@ def test_sharded_day_kernel_matches_unsharded_and_collective_free():
         assert comm_op not in hlo, f"unexpected collective {comm_op} in sharded kernel"
 
 
+def test_sharded_multiday_kernel_seed_offsets_bit_identical(setup, monkeypatch):
+    """N-device bit-identity of the sharded flagship-kernel wrapper (VERDICT
+    r4 item 4): ``sharded_multiday_kernel_fn`` over an 8-device mesh must equal
+    the concatenation of 8 direct per-device launches with the documented seed
+    offsets ``dev_seed = seed·(blocks·D) + d·blocks`` (distributed.py docstring).
+
+    The real multiday kernel's PRNG has no CPU lowering, so the launch target
+    is substituted with a pure-JAX stand-in that reproduces the kernel's
+    documented per-block seeding contract exactly — block ``j`` of a launch
+    with device seed ``s`` is the stream ``s + j``, block width
+    ``_pick_block(batch, 4096)`` (ops/pallas_gen_rollout.py:430,623).  What is
+    under test is therefore the shard_map wiring + seed arithmetic, which is
+    precisely the piece the real-TPU 1-device bit-identity test
+    (tests/test_tpu_kernels.py) cannot cover beyond one device."""
+    import smart_nanogrid_gym_tpu.ops.pallas_gen_rollout as GR
+
+    config, params, cpus = setup
+    B_DEV = 512
+    DAYS = 3
+
+    def stub_multiday(cfg, p, num_days, dev_seed, batch, check_params=False):
+        # block j <- stream dev_seed + j, exactly prng_seed(seed + program_id)
+        block = GR._pick_block(batch, 4096)
+        env = jnp.arange(batch, dtype=jnp.int32)
+        stream = jnp.asarray(dev_seed, jnp.int32) + env // block
+        lane = env % block
+        k = jnp.arange(8, dtype=jnp.int32)[:, None]
+        return (stream[None, :] * 100_003 + lane[None, :] * 7 + k
+                ).astype(jnp.float32) * num_days
+
+    monkeypatch.setattr(GR, "pallas_gen_rbc_multiday", stub_multiday)
+
+    mesh = Mesh(np.asarray(cpus), (ENV_AXIS,))
+    run = D.sharded_multiday_kernel_fn(config, mesh, DAYS, B_DEV, kernel="rbc")
+    seed = 5
+    sharded = np.asarray(run(params, seed))
+    assert sharded.shape == (8, B_DEV * 8)
+
+    from smart_nanogrid_gym_tpu.ops.pallas_gen_rollout import _pick_block
+    blocks = B_DEV // _pick_block(B_DEV, 4096)
+    stride = blocks * mesh.size
+    direct = np.concatenate(
+        [np.asarray(stub_multiday(config, params, DAYS,
+                                  seed * stride + d * blocks, B_DEV))
+         for d in range(mesh.size)], axis=1)
+    np.testing.assert_array_equal(sharded, direct)
+
+    # the per-device stream ranges are disjoint and adjacent, as documented
+    ranges = [(seed * stride + d * blocks, seed * stride + (d + 1) * blocks)
+              for d in range(mesh.size)]
+    assert all(ranges[i][1] == ranges[i + 1][0] for i in range(len(ranges) - 1))
+
+
 def test_sharded_multiday_kernel_fn_rejects_unknown_kernel(setup):
     config, _, cpus = setup
     mesh = Mesh(np.asarray(cpus[:1]), (ENV_AXIS,))

@@ -4,9 +4,10 @@ The step bodies of the multiday kernels are pinned bit-compatible against the
 XLA engine on CPU by tests/test_pallas.py, but the in-kernel hardware PRNG
 (pltpu.prng_*) has no CPU lowering — the actual benchmark kernels only run on
 a TPU.  These tests close that last gap on the real chip: same-config
-statistical cross-check (mean day return <1%, std <3%) between each multiday
+statistical cross-check (derived 6-sigma bounds floored at 1%/3%, with
+median-of-3 redraw on failure — see _assert_stats_match) between each multiday
 kernel and the XLA engine, over ~10^5 days each — the test-suite twin of the
-runtime check in bench.py.
+runtime check in bench.py (check_multiday_stats).
 
 Skipped when no TPU is attached.  First run compiles over the tunnel
 (~1-2 min/kernel); the persistent compile cache makes reruns fast.
@@ -88,6 +89,44 @@ def _kernel_stats(stats, num_days):
     return float(mean), float(max(var, 0.0)) ** 0.5
 
 
+def _assert_stats_match(kernel_stats_fn, oracle_stats_fn, n_kernel, n_oracle,
+                        max_attempts=3):
+    """Derived-bound statistical comparison with median-of-k retry (VERDICT r4
+    item 5 — de-flaked cross-checks).
+
+    Bound derivation: the difference of two independent sample means has
+    standard error ``σ·sqrt(1/n_k + 1/n_o)`` and the sample-std difference
+    ``σ·sqrt(1/(2n_k) + 1/(2n_o))`` (normal theory); the asserts use z=6 of
+    those, floored at the legacy 1%/3% relative tolerances (day returns are
+    penalty-heavy-tailed, so normal-theory errors underestimate — the floor
+    keeps the check exactly as strong as the one real bugs were caught by).
+    On a failed attempt BOTH sides are re-drawn with fresh seeds and the
+    medians compared: a genuine distribution bug fails every draw; a tunnel
+    mis-measure or statistical tail cannot survive the median."""
+    k_draws, o_draws = [], []
+    last = None
+    for attempt in range(max_attempts):
+        k_draws.append(kernel_stats_fn(attempt))
+        o_draws.append(oracle_stats_fn(attempt))
+        mean_k = float(np.median([m for m, _ in k_draws]))
+        std_k = float(np.median([s for _, s in k_draws]))
+        mean_x = float(np.median([m for m, _ in o_draws]))
+        std_x = float(np.median([s for _, s in o_draws]))
+        se_mean = std_x * (1.0 / n_kernel + 1.0 / n_oracle) ** 0.5
+        se_std = std_x * (0.5 / n_kernel + 0.5 / n_oracle) ** 0.5
+        mean_tol = max(6.0 * se_mean, 0.01 * abs(mean_x))
+        std_tol = max(6.0 * se_std, 0.03 * std_x)
+        last = (mean_k, mean_x, mean_tol, std_k, std_x, std_tol)
+        if abs(mean_k - mean_x) < mean_tol and abs(std_k - std_x) < std_tol:
+            return
+    mean_k, mean_x, mean_tol, std_k, std_x, std_tol = last
+    raise AssertionError(
+        f"kernel stats diverge after {max_attempts} median-combined draws: "
+        f"mean {mean_k:.2f} vs {mean_x:.2f} (tol {mean_tol:.2f}), "
+        f"std {std_k:.2f} vs {std_x:.2f} (tol {std_tol:.2f})"
+    )
+
+
 def test_rbc_multiday_kernel_matches_xla_engine_statistics():
     from smart_nanogrid_gym_tpu.ops.pallas_gen_rollout import pallas_gen_rbc_multiday
     from smart_nanogrid_gym_tpu.solvers.rbc import rbc_policy
@@ -100,13 +139,15 @@ def test_rbc_multiday_kernel_matches_xla_engine_statistics():
         def run(seed):
             return pallas_gen_rbc_multiday(config, params, KERNEL_DAYS, seed, BATCH)
 
-        mean_k, std_k = _kernel_stats(jax.block_until_ready(run(0)), KERNEL_DAYS)
-
         policy = jax.vmap(functools.partial(rbc_policy, config))
-        mean_x, std_x = _xla_stats(config, params, lambda ob, k: policy(ob))
-
-    assert abs(mean_k - mean_x) / abs(mean_x) < 0.01, (mean_k, mean_x)
-    assert abs(std_k - std_x) / abs(std_x) < 0.03, (std_k, std_x)
+        _assert_stats_match(
+            lambda a: _kernel_stats(jax.block_until_ready(run(1000 * a)),
+                                    KERNEL_DAYS),
+            lambda a: _xla_stats(config, params, lambda ob, k: policy(ob),
+                                 seed0=10 * a),
+            n_kernel=KERNEL_DAYS * BATCH,
+            n_oracle=ORACLE_CALLS * 50 * BATCH,
+        )
 
 
 def test_policy_multiday_kernel_matches_xla_engine_statistics():
@@ -133,13 +174,15 @@ def test_policy_multiday_kernel_matches_xla_engine_statistics():
                 config, params, net_params, KERNEL_DAYS, seed, BATCH
             )
 
-        mean_k, std_k = _kernel_stats(jax.block_until_ready(run(0)), KERNEL_DAYS)
-
         policy = learner.policy_fn(net_params, deterministic=True)
-        mean_x, std_x = _xla_stats(config, params, lambda ob, k: policy(ob))
-
-    assert abs(mean_k - mean_x) / abs(mean_x) < 0.01, (mean_k, mean_x)
-    assert abs(std_k - std_x) / abs(std_x) < 0.03, (std_k, std_x)
+        _assert_stats_match(
+            lambda a: _kernel_stats(jax.block_until_ready(run(1000 * a)),
+                                    KERNEL_DAYS),
+            lambda a: _xla_stats(config, params, lambda ob, k: policy(ob),
+                                 seed0=10 * a),
+            n_kernel=KERNEL_DAYS * BATCH,
+            n_oracle=ORACLE_CALLS * 50 * BATCH,
+        )
 
 
 def test_policy_multiday_bf16_matmuls_match_f32_statistics():
