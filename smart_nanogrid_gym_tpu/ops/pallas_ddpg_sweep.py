@@ -55,6 +55,9 @@ class DDPGSweepHypers(NamedTuple):
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
+    # matmul OPERAND dtype for fwd/bwd (f32 accumulation + f32 master params;
+    # see pallas_ppo_sweep.SweepHypers.matmul_dtype).  None = exact f32.
+    matmul_dtype: object = None
 
 
 N_LEAVES = 6  # W1 b1 W2 b2 W3 b3 per network
@@ -99,24 +102,27 @@ def _unflatten_mlp(template, leaves):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
-def _mlp_fwd(leaves, x, act=jax.nn.relu):
+def _mlp_fwd(leaves, x, act=jax.nn.relu, mm_cast=lambda x: x):
     """(B, in) -> (B, out) through the 2-hidden-layer MLP; returns saved
     activations for the backward pass."""
     W1, b1, W2, b2, W3, b3 = leaves
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    dot = lambda a, b: jnp.dot(mm_cast(a), mm_cast(b),
+                               preferred_element_type=jnp.float32)
     y1 = act(dot(x, W1) + b1)
     y2 = act(dot(y1, W2) + b2)
     out = dot(y2, W3) + b3
     return out, (y1, y2)
 
 
-def _mlp_bwd(leaves, x, y1, y2, g_out):
+def _mlp_bwd(leaves, x, y1, y2, g_out, mm_cast=lambda x: x):
     """ReLU-MLP backward: returns ([gW1 gb1 gW2 gb2 gW3 gb3], g_x)."""
     W1, b1, W2, b2, W3, b3 = leaves
     tdot = lambda a, b: jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        mm_cast(a), mm_cast(b), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     rdot = lambda a, b: jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        mm_cast(a), mm_cast(b), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     gW3 = tdot(y2, g_out)
     gb3 = jnp.sum(g_out, axis=0, keepdims=True)
     g2 = rdot(g_out, W3) * (y2 > 0).astype(jnp.float32)
@@ -144,6 +150,8 @@ def _sweep_kernel(hp: DDPGSweepHypers, batch: int, obs_dim: int,
     g = pl.program_id(0)
     f32 = jnp.float32
     inv_b = f32(1.0 / batch)
+    mm_cast = (lambda x: x) if hp.matmul_dtype is None else (
+        lambda x: x.astype(hp.matmul_dtype))
 
     @pl.when(g == 0)
     def _load_state():
@@ -182,37 +190,37 @@ def _sweep_kernel(hp: DDPGSweepHypers, batch: int, obs_dim: int,
             p_slots[i][...] = p_slots[i][...] - f32(hp.lr) * upd
 
     # ------------------------------------------------- target bootstrap --
-    na_raw, _ = _mlp_fwd(read(ta_out), nxt)
+    na_raw, _ = _mlp_fwd(read(ta_out), nxt, mm_cast=mm_cast)
     next_action = squash(na_raw)
     nxa = jnp.concatenate([nxt, next_action], axis=1)
-    tq_raw, _ = _mlp_fwd(read(tc_out), nxa)
+    tq_raw, _ = _mlp_fwd(read(tc_out), nxa, mm_cast=mm_cast)
     target_q = rew + f32(hp.gamma) * (1.0 - done) * tq_raw   # (B, 1)
 
     # ------------------------------------------------------ critic step --
     c_leaves = read(c_out)
     xa = jnp.concatenate([obs, act], axis=1)
-    q, (cy1, cy2) = _mlp_fwd(c_leaves, xa)
+    q, (cy1, cy2) = _mlp_fwd(c_leaves, xa, mm_cast=mm_cast)
     cerr = q - target_q
     c_loss = jnp.sum(cerr * cerr) * inv_b
     g_q = (2.0 * inv_b) * cerr
-    c_grads, _ = _mlp_bwd(c_leaves, xa, cy1, cy2, g_q)
+    c_grads, _ = _mlp_bwd(c_leaves, xa, cy1, cy2, g_q, mm_cast=mm_cast)
     adam_update(c_out, cmu_out, cnu_out, c_grads, ccount_ref[0, 0])
 
     # ------------------------------------------------------- actor step --
     # through the UPDATED critic, exactly like the XLA scan's ordering
     a_leaves = read(a_out)
-    u_raw, (ay1, ay2) = _mlp_fwd(a_leaves, obs)
+    u_raw, (ay1, ay2) = _mlp_fwd(a_leaves, obs, mm_cast=mm_cast)
     tanh_u = jnp.tanh(u_raw)
     a_pi = low + (tanh_u + 1.0) * half_span
     c_new = read(c_out)
     xa2 = jnp.concatenate([obs, a_pi], axis=1)
-    q2, (qy1, qy2) = _mlp_fwd(c_new, xa2)
+    q2, (qy1, qy2) = _mlp_fwd(c_new, xa2, mm_cast=mm_cast)
     a_loss = -jnp.sum(q2) * inv_b
     g_q2 = jnp.full_like(q2, -inv_b)
-    _, g_xa = _mlp_bwd(c_new, xa2, qy1, qy2, g_q2)
+    _, g_xa = _mlp_bwd(c_new, xa2, qy1, qy2, g_q2, mm_cast=mm_cast)
     g_a = g_xa[:, obs_dim:]                     # (B, A) — action columns
     g_u = g_a * half_span * (1.0 - tanh_u * tanh_u)
-    a_grads, _ = _mlp_bwd(a_leaves, obs, ay1, ay2, g_u)
+    a_grads, _ = _mlp_bwd(a_leaves, obs, ay1, ay2, g_u, mm_cast=mm_cast)
     adam_update(a_out, amu_out, anu_out, a_grads, acount_ref[0, 0])
 
     # ---------------------------------------------------------- polyak --
@@ -221,7 +229,7 @@ def _sweep_kernel(hp: DDPGSweepHypers, batch: int, obs_dim: int,
         for i in range(N_LEAVES):
             t_slots[i][...] = (1.0 - tau) * t_slots[i][...] + tau * p_slots[i][...]
 
-    metrics_ref[...] = _metric_row([c_loss, a_loss])
+    metrics_ref[0] = _metric_row([c_loss, a_loss])
 
 
 def ddpg_sweep_pallas(
@@ -268,11 +276,11 @@ def ddpg_sweep_pallas(
     )
     out_specs = (
         [const_spec(x.shape) for x in state_leaves]
-        + [pl.BlockSpec((1, 8), lambda g: (g, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((1, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)]
     )
     out_shape = (
         [jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in state_leaves]
-        + [jax.ShapeDtypeStruct((G, 8), jnp.float32)]
+        + [jax.ShapeDtypeStruct((G, 1, 8), jnp.float32)]
     )
 
     kernel = functools.partial(_sweep_kernel, hypers, B, F)
@@ -303,7 +311,7 @@ def ddpg_sweep_pallas(
     new_anu = _unflatten_mlp(actor_nu, outs[5 * n:6 * n])
     new_cmu = _unflatten_mlp(critic_mu, outs[6 * n:7 * n])
     new_cnu = _unflatten_mlp(critic_nu, outs[7 * n:8 * n])
-    metrics = outs[8 * n][:, :2]
+    metrics = outs[8 * n][:, 0, :2]
     inc = jnp.int32(G)
     return (new_actor, new_critic, new_ta, new_tc,
             (jnp.asarray(actor_count, jnp.int32) + inc, new_amu, new_anu),

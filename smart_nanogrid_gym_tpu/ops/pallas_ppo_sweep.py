@@ -17,19 +17,21 @@ kernel removes the floor structurally:
   samples stream through double-buffered VMEM chunks (Pallas pipelines the
   next chunk's DMA behind the current chunk's compute), gradients accumulate
   in VMEM scratch, and the clip+Adam update runs at each step's last chunk;
-- **samples live in the lane dimension** (feature-major ``(feat, M)`` layout,
-  transposed ``(out, in)`` weights) — the same layout rule as the fused
-  rollout kernels (ops/pallas_gen_rollout.py): a 4096-sample chunk is 32 full
-  128-lane tiles, and activations/data pad sublanes (≤8 rows) instead of
-  wasting 128-lane rows on 25-wide features;
+- **activations live lanes-packed** ((feat, M): samples in the lane axis —
+  the same layout rule as the fused rollout kernels) while obs/act STREAM in
+  sample-major ``(CHUNK, feat)`` blocks: the HBM side is then a pure reshape
+  of the gathered rollout (a feature-major HBM layout needs a 5-axis XLA
+  transpose of the 10-epoch gather — measured ~4 ms/update on v5e, 1.5× the
+  whole kernel) and the MXU absorbs the orientation via dot_general
+  dimension numbers;
 - **hand-written backward** for the tanh actor-critic and the clipped PPO
   loss (the tanh derivative is recomputed from saved activations, 1 - y²,
   so no pre-activations are stored).
 
 The per-epoch env permutations and the per-minibatch advantage normalization
 are *data-only* transforms (independent of params), so they are precomputed
-in XLA and handed to the kernel as ``(G, feat, M)`` arrays — the gather is
-one leading-axis row gather per epoch (µs-scale, measured round 4), and the
+in XLA and handed to the kernel as ``(G, M, feat)`` arrays — ONE leading-axis
+row gather per epoch plus reshapes (µs-scale, measured round 4), and the
 kernel itself contains no data-dependent indexing.
 
 Exact-parity contract with the XLA path (solvers/ppo.py::_shard_train_step):
@@ -73,6 +75,12 @@ class SweepHypers(NamedTuple):
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
+    # Matmul OPERAND dtype for the in-kernel fwd/bwd passes (accumulation and
+    # everything else stays f32 — standard mixed precision with f32 master
+    # params).  At the kernel's K-starved shapes (K=25/64 per matmul) the MXU
+    # runs f32 operands as a 3-pass bf16 decomposition, so bf16 operands cut
+    # MXU passes ~3x.  None = exact f32 (the parity-tested default).
+    matmul_dtype: object = None
 
 
 # parameter layout: [W1 b1 W2 b2 W3 b3] for pi, then vf, then log_std — the
@@ -83,18 +91,20 @@ N_PARAMS = 13
 
 
 def _pick_chunk(M: int, F: int, A: int, H1: int, H2: int,
-                budget_bytes: int = 11 * 2 ** 20) -> int:
+                budget_bytes: int = 9 * 2 ** 20) -> int:
     """Largest divisor of the minibatch sample count that keeps the chunk's
-    VMEM working set under budget.  Per-lane cost model (f32 bytes): data
-    blocks are double-buffered and sublane-padded to 8; the four saved
-    activations and ~3 live backward temporaries are single-buffered."""
-    pad8 = lambda n: -(-n // 8) * 8
-    per_lane = 4 * (
-        2 * (pad8(F) + pad8(A) + 3 * 8)        # in blocks, double-buffered
-        + 4 * (H1 + H2) // 2                   # y1/y2 for both nets
-        + 2 * pad8(A) + pad8(F) + (H1 + H2)    # backward temporaries
+    VMEM working set under budget.  Per-sample cost model (f32 bytes): the
+    sample-major obs/act blocks pad features to full 128-lane tiles and are
+    double-buffered; the four lanes-packed activations, the act transpose,
+    and ~3 live backward temporaries are single-buffered."""
+    padlane = lambda n: -(-n // 128) * 128
+    per_sample = 4 * (
+        2 * (padlane(F) + padlane(A))          # obs/act blocks, double-buffered
+        + 6 * 8                                # (1, CHUNK) scalar rows
+        + 2 * (H1 + H2)                        # y1/y2 for both nets
+        + 3 * 16 + (H1 + H2)                   # act_t/diff/g_mean + g1/g2 live
     )
-    target = max(1, budget_bytes // per_lane)
+    target = max(1, budget_bytes // per_sample)
     for c in range(min(M, target), 0, -1):
         if M % c == 0:
             return c
@@ -112,9 +122,20 @@ def _metric_row(vals):
     return row
 
 
-def _sweep_kernel(hp: SweepHypers, n_chunks: int, m_rows: int,
-                  obs_ref, act_ref, logp_ref, nadv_ref, ret_ref, count_ref,
-                  *refs):
+def _sweep_kernel(hp: SweepHypers, n_chunks: int, m_rows: int, streamed: bool,
+                  *all_refs):
+    if streamed:
+        # PrefetchScalarGridSpec prepends the scalar-prefetch refs: the
+        # per-(g, c) block indices and the per-minibatch advantage stats
+        bidx_ref, stats_ref = all_refs[0], all_refs[1]
+        (obs_ref, act_ref, logp_ref, nadv_ref, ret_ref,
+         count_ref) = all_refs[2:8]
+        refs = all_refs[8:]
+    else:
+        bidx_ref = stats_ref = None
+        (obs_ref, act_ref, logp_ref, nadv_ref, ret_ref,
+         count_ref) = all_refs[0:6]
+        refs = all_refs[6:]
     params_in = refs[0:13]
     mu_in = refs[13:26]
     nu_in = refs[26:39]
@@ -144,29 +165,62 @@ def _sweep_kernel(hp: SweepHypers, n_chunks: int, m_rows: int,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     # ------------------------------------------------------------- forward --
-    # transposed layout: weights (out, in), biases (out, 1), data (feat, M)
+    # weights (out, in), biases (out, 1); activations/per-sample rows are
+    # lanes-packed (feat, CHUNK).  obs/act stream in SAMPLE-major (CHUNK, F)
+    # blocks — pure reshapes of the gathered rollout in HBM (a feature-major
+    # HBM layout would need a 5-axis XLA transpose of the whole 10-epoch
+    # gather, measured at ~4 ms/update on v5e, 1.5× the kernel itself).  The
+    # MXU absorbs the orientation for free via dot_general dimension numbers;
+    # only `act` (which feeds ELEMENTWISE math against (A, CHUNK) tensors) is
+    # transposed in-kernel, by an exact identity matmul.
     (pW1, pb1, pW2, pb2, pW3, pb3,
      vW1, vb1, vW2, vb2, vW3, vb3, log_std) = [r[...] for r in params_out]
 
-    obs = obs_ref[0]          # (F, CHUNK)
-    act = act_ref[0]          # (A, CHUNK)
+    obs_sm = obs_ref[0]       # (CHUNK, F) sample-major
+    act_sm = act_ref[0]       # (CHUNK, A) sample-major
     old_logp = logp_ref[0]    # (1, CHUNK)
-    nadv = nadv_ref[0]        # (1, CHUNK)
     ret = ret_ref[0]          # (1, CHUNK)
+    if streamed:
+        # raw advantages stream by block; normalize with the minibatch stats
+        # (precomputed from block sums — same formula as the XLA path's
+        # (adv - mean)/(std + 1e-8) up to f32 reduction order)
+        mean_g = stats_ref[0, g]
+        std_g = stats_ref[1, g]
+        nadv = (nadv_ref[0] - mean_g) / (std_g + f32(1e-8))
+    else:
+        nadv = nadv_ref[0]    # (1, CHUNK), pre-normalized
 
-    dot = functools.partial(jnp.dot, preferred_element_type=f32)
+    mm_cast = (lambda x: x) if hp.matmul_dtype is None else (
+        lambda x: x.astype(hp.matmul_dtype))
+    dot = lambda a, b: jnp.dot(mm_cast(a), mm_cast(b),
+                               preferred_element_type=f32)
     # contract the lane (sample) axis of both operands: (P, M)·(Q, M) -> (P, Q)
     lanedot = lambda a, b: jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        mm_cast(a), mm_cast(b), (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
     # contract the sublane axis of both operands: (K, P)·(K, M) -> (P, M)
     subdot = lambda a, b: jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        mm_cast(a), mm_cast(b), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    # (out, in) weight × (CHUNK, in) sample-major data -> (out, CHUNK)
+    featdot = lambda W, x: jax.lax.dot_general(
+        mm_cast(W), mm_cast(x), (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
 
-    y1p = jnp.tanh(dot(pW1, obs) + pb1)        # (H1, CHUNK)
+    # exact lanes-packing transpose of act: eye(A) @ act_smᵀ via the MXU —
+    # always f32 operands (this is a DATA transpose, not a network matmul;
+    # it must stay exact under matmul_dtype mixed precision)
+    eye_a = (jax.lax.broadcasted_iota(jnp.int32, act_sm.shape[1:] * 2, 0)
+             == jax.lax.broadcasted_iota(jnp.int32, act_sm.shape[1:] * 2, 1)
+             ).astype(f32)
+    act = jax.lax.dot_general(eye_a, act_sm, (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)  # (A, CHUNK)
+
+    y1p = jnp.tanh(featdot(pW1, obs_sm) + pb1)  # (H1, CHUNK)
     y2p = jnp.tanh(dot(pW2, y1p) + pb2)        # (H2, CHUNK)
     mean = dot(pW3, y2p) + pb3                 # (A, CHUNK)
 
-    y1v = jnp.tanh(dot(vW1, obs) + vb1)
+    y1v = jnp.tanh(featdot(vW1, obs_sm) + vb1)
     y2v = jnp.tanh(dot(vW2, y1v) + vb2)
     value = dot(vW3, y2v) + vb3                # (1, CHUNK)
 
@@ -205,21 +259,22 @@ def _sweep_kernel(hp: SweepHypers, n_chunks: int, m_rows: int,
 
     g_value = (hp.vf_coef * inv_m) * verr      # (1, CHUNK)  d(0.5·vf·MSE)/dv
 
-    def mlp_backward(x, y1, y2, W2, W3, g_out, grad_slot):
-        """Accumulate transposed-layout grads of a 2-hidden-layer tanh MLP."""
+    def mlp_backward(x_sm, y1, y2, W2, W3, g_out, grad_slot):
+        """Accumulate transposed-layout grads of a 2-hidden-layer tanh MLP
+        (``x_sm`` is the sample-major input block)."""
         gW3 = lanedot(g_out, y2)                       # (A, H2)
         gb3 = jnp.sum(g_out, axis=1, keepdims=True)    # (A, 1)
         g2 = subdot(W3, g_out) * (1.0 - y2 * y2)       # (H2, CHUNK)
         gW2 = lanedot(g2, y1)
         gb2 = jnp.sum(g2, axis=1, keepdims=True)
         g1 = subdot(W2, g2) * (1.0 - y1 * y1)          # (H1, CHUNK)
-        gW1 = lanedot(g1, x)
+        gW1 = dot(g1, x_sm)                            # (H1, F)
         gb1 = jnp.sum(g1, axis=1, keepdims=True)
         for slot, val in zip(grad_slot, (gW1, gb1, gW2, gb2, gW3, gb3)):
             slot[...] += val
 
-    mlp_backward(obs, y1p, y2p, pW2, pW3, g_mean, grads[0:6])
-    mlp_backward(obs, y1v, y2v, vW2, vW3, g_value, grads[6:12])
+    mlp_backward(obs_sm, y1p, y2p, pW2, pW3, g_mean, grads[0:6])
+    mlp_backward(obs_sm, y1v, y2v, vW2, vW3, g_value, grads[6:12])
     grads[12][...] += g_log_std
 
     # ------------------------------------------------- loss/metric tallies --
@@ -259,7 +314,7 @@ def _sweep_kernel(hp: SweepHypers, n_chunks: int, m_rows: int,
             params_out[i][...] = params_out[i][...] - f32(hp.lr) * upd
 
         sums = acc_ref[...]
-        metrics_ref[...] = _metric_row([
+        metrics_ref[0] = _metric_row([
             sums[0, 0] * inv_m,     # policy loss
             sums[0, 1] * inv_m,     # value loss
             entropy,                # entropy (scalar, not a mean)
@@ -327,8 +382,8 @@ def ppo_sweep_pallas(
     ---------
     params / adam_mu / adam_nu : ActorCritic flax trees (f32)
     adam_count : int32 scalar — optax ScaleByAdamState.count BEFORE the sweep
-    obs_g, act_g : pre-permuted minibatch tensors of shape (G, feat, M)
-        (feature-major, samples last — the kernel's lane axis)
+    obs_g, act_g : pre-permuted minibatch tensors of shape (G, M, feat)
+        (sample-major — a pure reshape of the gathered env-major rollout)
     logp_g, nadv_g, ret_g : (G, M) with per-minibatch-normalized advantages
         in ``nadv_g``
     hypers : SweepHypers (static — baked into the compiled kernel)
@@ -338,7 +393,7 @@ def ppo_sweep_pallas(
     per gradient step.
     """
     G, M = logp_g.shape[0], logp_g.shape[1]
-    F, A = obs_g.shape[1], act_g.shape[1]
+    F, A = obs_g.shape[2], act_g.shape[2]
     p_leaves = _flatten_actor_critic(params)
     mu_leaves = _flatten_actor_critic(adam_mu)
     nu_leaves = _flatten_actor_critic(adam_nu)
@@ -352,7 +407,7 @@ def ppo_sweep_pallas(
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda g, c: (0,) * len(shape), memory_space=pltpu.VMEM)
     feat_spec = lambda feat: pl.BlockSpec(
-        (1, feat, chunk), lambda g, c: (g, 0, c), memory_space=pltpu.VMEM)
+        (1, chunk, feat), lambda g, c: (g, c, 0), memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, 1, chunk), lambda g, c: (g, 0, c),
                             memory_space=pltpu.VMEM)
 
@@ -365,18 +420,18 @@ def ppo_sweep_pallas(
     )
     out_specs = (
         [const_spec(x.shape) for x in p_leaves] * 3
-        + [pl.BlockSpec((1, 8), lambda g, c: (g, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((1, 1, 8), lambda g, c: (g, 0, 0), memory_space=pltpu.VMEM)]
     )
     out_shape = (
         [jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in p_leaves] * 3
-        + [jax.ShapeDtypeStruct((G, 8), jnp.float32)]
+        + [jax.ShapeDtypeStruct((G, 1, 8), jnp.float32)]
     )
     scratch_shapes = (
         [pltpu.VMEM(x.shape, jnp.float32) for x in p_leaves]
         + [pltpu.VMEM((1, 8), jnp.float32)]
     )
 
-    kernel = functools.partial(_sweep_kernel, hypers, n_chunks, M)
+    kernel = functools.partial(_sweep_kernel, hypers, n_chunks, M, False)
     outs = pl.pallas_call(
         kernel,
         grid=(G, n_chunks),
@@ -400,6 +455,130 @@ def ppo_sweep_pallas(
     new_p = _unflatten_actor_critic(params, outs[0:13])
     new_mu = _unflatten_actor_critic(adam_mu, outs[13:26])
     new_nu = _unflatten_actor_critic(adam_nu, outs[26:39])
-    metrics = outs[39][:, :4]
+    metrics = outs[39][:, 0, :4]
+    new_count = jnp.asarray(adam_count, jnp.int32) + jnp.int32(G)
+    return new_p, new_count, new_mu, new_nu, metrics
+
+
+def ppo_sweep_pallas_streamed(
+    params,
+    adam_count,
+    adam_mu,
+    adam_nu,
+    obs_flat,
+    act_flat,
+    logp_flat,
+    adv_flat,
+    ret_flat,
+    block_perm,
+    granule: int,
+    hypers: SweepHypers,
+    interpret: bool = False,
+):
+    """Zero-copy variant of :func:`ppo_sweep_pallas` for the "block"
+    minibatch scheme: the kernel reads the FLAT trajectory arrays directly,
+    with the per-(grad-step, chunk) sample-block index fed through Pallas
+    scalar prefetch into the data index maps.
+
+    Why: materializing the shuffled ``(G, M, feat)`` minibatch tensors costs
+    ~1.5 ms/update of HBM gather traffic at SB3 defaults (each sample copied
+    ``num_epochs`` times); here nothing is copied — the shuffle IS the index
+    map, and each block is DMA'd straight from the rollout layout as it
+    streams through the grid.  Per-minibatch advantage normalization moves
+    in-kernel, from stats precomputed out of per-block sums (algebraically
+    the XLA path's ``(adv-mean)/(std+1e-8)``; f32 reduction order differs).
+
+    Arguments
+    ---------
+    obs_flat .. ret_flat : env-major flat trajectory arrays, leading axis
+        S = n_blocks·granule samples
+    block_perm : (G, M // granule) int32 — for each gradient step, the
+        sample-block indices composing its minibatch (the "block" scheme's
+        per-epoch permutation, reshaped)
+    granule : the sample-block size; MUST equal the kernel streaming chunk
+        (callers use :func:`_pick_chunk`) so DMA blocks and shuffle blocks
+        coincide
+    """
+    S, F = obs_flat.shape
+    A = act_flat.shape[1]
+    G, K = block_perm.shape
+    if S % granule:
+        raise ValueError(f"flat sample count {S} not divisible by granule {granule}")
+    n_bl = S // granule
+    M = K * granule
+    p_leaves = _flatten_actor_critic(params)
+    mu_leaves = _flatten_actor_critic(adam_mu)
+    nu_leaves = _flatten_actor_critic(adam_nu)
+
+    f32c = lambda x: x.astype(jnp.float32)
+    obs_b = f32c(obs_flat).reshape(n_bl, granule, F)
+    act_b = f32c(act_flat).reshape(n_bl, granule, A)
+    logp_b = f32c(logp_flat).reshape(n_bl, 1, granule)
+    adv_b = f32c(adv_flat).reshape(n_bl, 1, granule)
+    ret_b = f32c(ret_flat).reshape(n_bl, 1, granule)
+
+    # per-minibatch advantage stats from per-block sums (gathers n_bl-sized
+    # scalar rows — trivial — instead of minibatch tensors)
+    bsum = adv_b.sum(axis=(1, 2))
+    bsq = (adv_b * adv_b).sum(axis=(1, 2))
+    msum = bsum[block_perm].sum(axis=1)
+    msq = bsq[block_perm].sum(axis=1)
+    mean = msum / M
+    std = jnp.sqrt(jnp.maximum(msq / M - mean * mean, 0.0))
+    stats = jnp.stack([mean, std]).astype(jnp.float32)      # (2, G)
+    bidx = block_perm.astype(jnp.int32)                     # (G, K)
+
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda g, c, b, s: (0,) * len(shape), memory_space=pltpu.VMEM)
+    data_spec = lambda blk: pl.BlockSpec(
+        blk, lambda g, c, b, s: (b[g, c], 0, 0), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G, K),
+        in_specs=(
+            [data_spec((1, granule, F)), data_spec((1, granule, A)),
+             data_spec((1, 1, granule)), data_spec((1, 1, granule)),
+             data_spec((1, 1, granule))]
+            + [pl.BlockSpec((1, 1), lambda g, c, b, s: (0, 0),
+                            memory_space=pltpu.SMEM)]
+            + [const_spec(x.shape) for x in p_leaves]
+            + [const_spec(x.shape) for x in mu_leaves]
+            + [const_spec(x.shape) for x in nu_leaves]
+        ),
+        out_specs=(
+            [const_spec(x.shape) for x in p_leaves] * 3
+            + [pl.BlockSpec((1, 1, 8), lambda g, c, b, s: (g, 0, 0),
+                            memory_space=pltpu.VMEM)]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM(x.shape, jnp.float32) for x in p_leaves]
+            + [pltpu.VMEM((1, 8), jnp.float32)]
+        ),
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in p_leaves] * 3
+        + [jax.ShapeDtypeStruct((G, 1, 8), jnp.float32)]
+    )
+
+    kernel = functools.partial(_sweep_kernel, hypers, K, M, True)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        bidx, stats,
+        obs_b, act_b, logp_b, adv_b, ret_b,
+        jnp.asarray(adam_count, jnp.int32).reshape(1, 1),
+        *[f32c(x) for x in p_leaves],
+        *[f32c(x) for x in mu_leaves],
+        *[f32c(x) for x in nu_leaves],
+    )
+
+    new_p = _unflatten_actor_critic(params, outs[0:13])
+    new_mu = _unflatten_actor_critic(adam_mu, outs[13:26])
+    new_nu = _unflatten_actor_critic(adam_nu, outs[26:39])
+    metrics = outs[39][:, 0, :4]
     new_count = jnp.asarray(adam_count, jnp.int32) + jnp.int32(G)
     return new_p, new_count, new_mu, new_nu, metrics

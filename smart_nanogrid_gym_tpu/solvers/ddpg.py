@@ -46,6 +46,11 @@ class DDPGConfig:
     # sampling, parity pinned by tests/test_ddpg_sweep_kernel.py)
     sweep_impl: str = "xla"
     sweep_interpret: bool = False  # run the kernel interpreted (CPU tests)
+    # matmul operand dtype for the Pallas sweep's fwd/bwd passes (f32
+    # accumulation + f32 master params; None = exact f32).  bf16 cuts the
+    # MXU's 3-pass f32 decomposition to one pass — see
+    # pallas_ppo_sweep.SweepHypers.matmul_dtype.
+    update_matmul_dtype: object | None = None
 
 
 class ReplayBuffer(NamedTuple):
@@ -387,8 +392,10 @@ class DDPGLearner:
             raise ValueError("sweep_impl='pallas' requires optax Adam states")
         a_adam, a_rebuild = found_a
         c_adam, c_rebuild = found_c
+        mm = self.cfg.update_matmul_dtype
         hp = DDPGSweepHypers(lr=self.cfg.learning_rate, gamma=self.cfg.gamma,
-                             tau=self.cfg.tau)
+                             tau=self.cfg.tau,
+                             matmul_dtype=None if mm in (None, jnp.float32) else mm)
         (actor, critic, t_actor, t_critic,
          (a_count, a_mu, a_nu), (c_count, c_mu, c_nu), metrics) = \
             ddpg_sweep_pallas(

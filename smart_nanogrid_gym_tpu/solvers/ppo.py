@@ -73,6 +73,22 @@ class PPOConfig:
     sweep_impl: str = "xla"
     # run the sweep kernel in Pallas interpret mode (CPU tests only)
     sweep_interpret: bool = False
+    # Minibatch composition scheme:
+    #   "env"   — per-epoch permutation of ENVS (SB3-RecurrentPPO sequence
+    #             minibatches; round-4 scheme).  Costs one (E·B)-row TPU
+    #             gather per update: ~4 ms at 4096 envs × 10 epochs — fine
+    #             for the XLA sweep (XLA fuses the gather into consumers),
+    #             ruinous for the kernel path (materialized);
+    #   "block" — per-epoch permutation of contiguous SAMPLE BLOCKS (granule
+    #             = the sweep kernel's streaming chunk, ~85 envs at SB3
+    #             defaults).  Envs are i.i.d. by construction (independent
+    #             PRNG streams), so any exchangeable partition is an equally
+    #             unbiased minibatch scheme; the coarse granule turns the
+    #             TPU gather into ~48 bandwidth-speed 200 KB rows per epoch
+    #             (row-gather cost is per-ROW on TPU — same economics that
+    #             motivated env-wise over sample-wise shuffling in round 4);
+    #   "auto"  — "block" for sweep_impl="pallas", "env" otherwise.
+    minibatch_scheme: str = "auto"
 
 
 class PPOTrainState(NamedTuple):
@@ -352,15 +368,36 @@ class PPOLearner:
             )
             return params, opt_state, env_states, obs, metrics
 
-        def epoch(carry, key_e):
-            params, opt_state = carry
-            perm = jax.random.permutation(key_e, n_envs)[: mb_envs * num_mb]
-            # one leading-axis gather per epoch, then split into minibatch
-            # blocks of shape (mb_envs·T, feat...)
-            mbs = tuple(
-                x[perm].reshape((num_mb, -1) + x.shape[2:])
+        scheme = self._resolved_scheme()
+        T = batch[0].shape[1]
+        M = mb_envs * T
+        if scheme == "block":
+            granule = self._block_granule(M)
+            n_used = mb_envs * num_mb
+            n_bl = (n_used * T) // granule
+            block_views = tuple(
+                x[:n_used].reshape((n_bl, granule) + x.shape[2:])
                 for x in batch
             )
+
+        def epoch(carry, key_e):
+            params, opt_state = carry
+            if scheme == "block":
+                # permute contiguous sample BLOCKS (see PPOConfig.
+                # minibatch_scheme): ~n_bl big rows instead of n_envs
+                perm = jax.random.permutation(key_e, n_bl)
+                mbs = tuple(
+                    x[perm].reshape((num_mb, M) + x.shape[2:])
+                    for x in block_views
+                )
+            else:
+                perm = jax.random.permutation(key_e, n_envs)[: mb_envs * num_mb]
+                # one leading-axis gather per epoch, then split into minibatch
+                # blocks of shape (mb_envs·T, feat...)
+                mbs = tuple(
+                    x[perm].reshape((num_mb, -1) + x.shape[2:])
+                    for x in batch
+                )
 
             def minibatch(carry, mb):
                 params, opt_state = carry
@@ -390,6 +427,24 @@ class PPOLearner:
             metrics = jax.tree.map(lambda m: jax.lax.pmean(m, ENV_AXIS), metrics)
         return params, opt_state, env_states, obs, metrics
 
+    def _resolved_scheme(self) -> str:
+        s = self.ppo.minibatch_scheme
+        if s == "auto":
+            return "block" if self.ppo.sweep_impl == "pallas" else "env"
+        if s not in ("env", "block"):
+            raise ValueError(f"unknown minibatch_scheme {s!r}")
+        return s
+
+    def _block_granule(self, M: int) -> int:
+        """Sample-block granule of the "block" scheme — defined as the sweep
+        kernel's streaming chunk so both implementations (and the kernel's
+        DMA blocks) agree on the partition for exact parity."""
+        from ..ops.pallas_ppo_sweep import _pick_chunk
+
+        hidden = tuple(self.network.hidden)
+        return _pick_chunk(M, self.env_config.obs_dim,
+                           self.env_config.num_actions, hidden[0], hidden[1])
+
     def _pallas_sweep(self, params, opt_state, batch, num_mb, mb_envs, k_perm):
         """Run the epoch×minibatch sweep via the whole-sweep Pallas kernel
         (ops/pallas_ppo_sweep.py): identical permutation stream and optimizer
@@ -411,20 +466,64 @@ class PPOLearner:
         n_envs, T = t_obs.shape[0], t_obs.shape[1]
         E = self.ppo.num_epochs
         G, M = E * num_mb, mb_envs * T
+        scheme = self._resolved_scheme()
 
         keys = jax.random.split(k_perm, E)
-        perms = jax.vmap(
-            lambda k: jax.random.permutation(k, n_envs)[: mb_envs * num_mb]
-        )(keys)                                        # (E, mb_envs·num_mb)
+        if scheme == "block":
+            # zero-copy streaming: the block shuffle becomes the kernel's
+            # scalar-prefetched index map (ops/pallas_ppo_sweep.py::
+            # ppo_sweep_pallas_streamed) — nothing is gathered in HBM at all
+            # (materializing the (G, M, feat) minibatches measured
+            # ~1.5 ms/update even at block granularity; the env-wise gather
+            # ~4 ms — see PPOConfig.minibatch_scheme)
+            from ..ops.pallas_ppo_sweep import ppo_sweep_pallas_streamed
 
-        def gather_feat(x):                            # (B, T, F) -> (G, F, M)
-            F = x.shape[2]
-            sel = x[perms]                             # (E, sel, T, F)
-            sel = sel.reshape(E, num_mb, mb_envs, T, F)
-            return sel.transpose(0, 1, 4, 2, 3).reshape(G, F, M)
+            granule = self._block_granule(M)
+            n_used = mb_envs * num_mb
+            n_bl = (n_used * T) // granule
+            K = M // granule
+            perms = jax.vmap(lambda k: jax.random.permutation(k, n_bl))(keys)
+            block_perm = perms.reshape(E, num_mb, K).reshape(G, K)
 
-        def gather_row(x):                             # (B, T) -> (G, M)
-            return x[perms].reshape(E, num_mb, M).reshape(G, M)
+            flats = [
+                x[:n_used].reshape((n_used * T,) + x.shape[2:])
+                for x in (t_obs, t_act, t_logp, advantages, returns)
+            ]
+            found = _find_adam_state(opt_state)
+            if found is None:
+                raise ValueError(
+                    "sweep_impl='pallas' requires an optax Adam state")
+            adam, rebuild = found
+            mm = self.ppo.update_matmul_dtype
+            hp = SweepHypers(
+                lr=self.ppo.learning_rate, clip_eps=self.ppo.clip_eps,
+                vf_coef=self.ppo.vf_coef, ent_coef=self.ppo.entropy_coef,
+                max_grad_norm=self.ppo.max_grad_norm,
+                matmul_dtype=None if mm in (None, jnp.float32) else mm,
+            )
+            new_params, count, mu, nu, metrics_g = ppo_sweep_pallas_streamed(
+                params, adam.count, adam.mu, adam.nu, *flats,
+                block_perm, granule, hp,
+                interpret=self.ppo.sweep_interpret,
+            )
+            new_opt = rebuild(
+                optax.ScaleByAdamState(count=count, mu=mu, nu=nu))
+            return new_params, new_opt, metrics_g
+        else:
+            perms = jax.vmap(
+                lambda k: jax.random.permutation(k, n_envs)[: mb_envs * num_mb]
+            )(keys)                                    # (E, mb_envs·num_mb)
+
+            def gather_feat(x):                        # (B, T, F) -> (G, M, F)
+                # one leading-axis row gather + pure reshape: the kernel
+                # consumes sample-major blocks precisely so NO transpose
+                # happens here (a feature-major HBM layout cost ~4 ms/update
+                # of XLA transposes)
+                F = x.shape[2]
+                return x[perms].reshape(G, M, F)
+
+            def gather_row(x):                         # (B, T) -> (G, M)
+                return x[perms].reshape(E, num_mb, M).reshape(G, M)
 
         obs_g = gather_feat(t_obs)
         act_g = gather_feat(t_act)
@@ -438,10 +537,12 @@ class PPOLearner:
         if found is None:
             raise ValueError("sweep_impl='pallas' requires an optax Adam state")
         adam, rebuild = found
+        mm = self.ppo.update_matmul_dtype
         hp = SweepHypers(
             lr=self.ppo.learning_rate, clip_eps=self.ppo.clip_eps,
             vf_coef=self.ppo.vf_coef, ent_coef=self.ppo.entropy_coef,
             max_grad_norm=self.ppo.max_grad_norm,
+            matmul_dtype=None if mm in (None, jnp.float32) else mm,
         )
         new_params, count, mu, nu, metrics_g = ppo_sweep_pallas(
             params, adam.count, adam.mu, adam.nu,

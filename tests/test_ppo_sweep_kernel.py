@@ -28,6 +28,9 @@ CFG = NanogridConfig(num_chargers=4, pv_system=True, battery_system=True)
 
 
 def _learner_pair(**ppo_kwargs):
+    # both learners pinned to the "block" minibatch scheme so compositions
+    # match exactly (sweep_impl="pallas" defaults to block, xla to env)
+    ppo_kwargs.setdefault("minibatch_scheme", "block")
     xla = PPOLearner(CFG, PPOConfig(sweep_impl="xla", **ppo_kwargs))
     pal = PPOLearner(
         CFG, PPOConfig(sweep_impl="pallas", sweep_interpret=True, **ppo_kwargs))
@@ -105,8 +108,8 @@ def test_chunked_streaming_matches_single_chunk():
     params = net.init(key, jnp.zeros((1, F), jnp.float32))
     zeros = jax.tree.map(jnp.zeros_like, params)
     ks = jax.random.split(key, 5)
-    obs_g = jax.random.normal(ks[0], (G, F, M), jnp.float32)
-    act_g = jax.random.normal(ks[1], (G, A, M), jnp.float32)
+    obs_g = jax.random.normal(ks[0], (G, M, F), jnp.float32)
+    act_g = jax.random.normal(ks[1], (G, M, A), jnp.float32)
     logp_g = jax.random.normal(ks[2], (G, M), jnp.float32)
     adv_g = jax.random.normal(ks[3], (G, M), jnp.float32)
     ret_g = jax.random.normal(ks[4], (G, M), jnp.float32)
@@ -152,3 +155,73 @@ def test_sweep_kernel_rejects_unsupported_shapes():
         state = learner.init(jax.random.PRNGKey(0), params, batch_size=8)
         with pytest.raises(ValueError, match="single-device"):
             learner.build_train_step()(state, learner.nanogrid_params_batched)
+
+
+def test_block_scheme_learns_like_env_scheme():
+    """The "block" minibatch scheme (contiguous sample blocks — the kernel
+    path's default, chosen for TPU row-gather economics) is an equally
+    unbiased partition of i.i.d. envs: training with it reaches comparable
+    returns to the round-4 env-wise scheme on the same seeds."""
+    params = make_params(CFG, dtype=jnp.float32)
+    outs = {}
+    for scheme in ("env", "block"):
+        learner = PPOLearner(CFG, PPOConfig(num_epochs=4, num_minibatches=2,
+                                            minibatch_scheme=scheme))
+        state = learner.init(jax.random.PRNGKey(0), params, batch_size=32)
+        state, hist = learner.train(state, 15, log_every=14)
+        outs[scheme] = hist[-1].mean_return
+    assert np.isfinite(outs["env"]) and np.isfinite(outs["block"])
+    # both improved from the ~-320 init to the same neighbourhood
+    assert outs["block"] > -280.0, outs
+    assert abs(outs["block"] - outs["env"]) < 60.0, outs
+
+
+def test_streamed_matches_materialized_kernel():
+    """ppo_sweep_pallas_streamed (scalar-prefetch block index maps + in-kernel
+    advantage normalization) equals the materialized-kernel launch on the same
+    block permutation — the normalization stats differ only in f32 reduction
+    order (block sums vs row reduction)."""
+    from smart_nanogrid_gym_tpu.ops.pallas_ppo_sweep import (
+        SweepHypers, ppo_sweep_pallas, ppo_sweep_pallas_streamed)
+    from smart_nanogrid_gym_tpu.solvers.networks import ActorCritic
+
+    key = jax.random.PRNGKey(9)
+    F, A = 25, 9
+    granule, K, G = 32, 3, 4          # M = 96 samples per minibatch
+    n_bl = 12
+    S = n_bl * granule
+    net = ActorCritic(action_dim=A)
+    params = net.init(key, jnp.zeros((1, F), jnp.float32))
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    ks = jax.random.split(key, 6)
+    obs_f = jax.random.normal(ks[0], (S, F), jnp.float32)
+    act_f = jax.random.normal(ks[1], (S, A), jnp.float32)
+    logp_f = jax.random.normal(ks[2], (S,), jnp.float32)
+    adv_f = jax.random.normal(ks[3], (S,), jnp.float32)
+    ret_f = jax.random.normal(ks[4], (S,), jnp.float32)
+    block_perm = jax.vmap(
+        lambda k: jax.random.permutation(k, n_bl)
+    )(jax.random.split(ks[5], G))[:, :K].astype(jnp.int32)  # (G, K)
+
+    hp = SweepHypers(lr=3e-4, clip_eps=0.2, vf_coef=0.5, ent_coef=0.0,
+                     max_grad_norm=0.5)
+    p_s, c_s, mu_s, nu_s, met_s = ppo_sweep_pallas_streamed(
+        params, jnp.int32(0), zeros, zeros,
+        obs_f, act_f, logp_f, adv_f, ret_f, block_perm, granule, hp,
+        interpret=True)
+
+    # materialize the identical minibatches by hand
+    M = K * granule
+    take = lambda x: x.reshape((n_bl, granule) + x.shape[1:])[block_perm]\
+        .reshape((G, M) + x.shape[1:])
+    adv_g = take(adv_f)
+    nadv_g = (adv_g - adv_g.mean(axis=1, keepdims=True)) / (
+        adv_g.std(axis=1, keepdims=True) + 1e-8)
+    p_m, c_m, mu_m, nu_m, met_m = ppo_sweep_pallas(
+        params, jnp.int32(0), zeros, zeros,
+        take(obs_f), take(act_f), take(logp_f), nadv_g, take(ret_f), hp,
+        interpret=True, chunk_override=granule)
+
+    assert int(c_s) == int(c_m) == G
+    _tree_allclose(p_s, p_m, rtol=1e-5, atol=1e-6, msg="streamed params")
+    _tree_allclose(met_s, met_m, rtol=1e-4, atol=1e-5, msg="streamed metrics")
