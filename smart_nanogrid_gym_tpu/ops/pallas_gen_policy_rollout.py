@@ -65,7 +65,7 @@ def _gen_policy_step(
     price_norm_ref, rad_norm_ref, pv_shift,
     w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, low_ref, high_ref,
     *, T, N, dt, pv, batt, penalty_mode, diff_caps, req_soc, k4, k10, k1,
-    actor="ppo", reduce_pen=True,
+    actor="ppo", reduce_pen=True, policy_override=None,
 ):
     """One timestep: generate schedule column t, run the MLP actor on the
     step-(t-1) observation (envs/smart_nanogrid_environment.py:173-174 timing),
@@ -125,6 +125,18 @@ def _gen_policy_step(
     # architecture (solvers/networks.py): PPO MlpPolicy (64-64 tanh torso,
     # mean clipped to the action box) or DDPG MlpPolicy (400-300 relu torso,
     # tanh squashed/affine-mapped into the box).
+    if policy_override is not None:
+        # the collection kernels (ops/pallas_collect.py) supply the whole
+        # policy evaluation (stochastic actor + value head + log-prob) and
+        # record their extras themselves; the env consumes the returned
+        # CLIPPED actions exactly like the inline MLP path
+        actions = policy_override(obs)
+        return _gen_policy_physics(
+            cols, gen, c, batt_soc, actions, pmask, pv_shift,
+            N=N, dt=dt, batt=batt, diff_caps=diff_caps, req_soc=req_soc,
+            reduce_pen=reduce_pen,
+        )
+
     w1, w2, w3 = w1_ref[:, :], w2_ref[:, :], w3_ref[:, :]
     mxu = w1.dtype
     z1 = jnp.dot(w1, obs.astype(mxu), preferred_element_type=f32) + b1_ref[:, :]
@@ -141,6 +153,22 @@ def _gen_policy_step(
         low, high = low_ref[:, :], high_ref[:, :]
         actions = low + (squashed + 1.0) * 0.5 * (high - low)  # (A, BB)
 
+    return _gen_policy_physics(
+        cols, gen, c, batt_soc, actions, pmask, pv_shift,
+        N=N, dt=dt, batt=batt, diff_caps=diff_caps, req_soc=req_soc,
+        reduce_pen=reduce_pen,
+    )
+
+
+def _gen_policy_physics(cols, gen, c, batt_soc, actions, pmask, pv_shift,
+                        *, N, dt, batt, diff_caps, req_soc, reduce_pen):
+    """Charger/BESS physics + penalty for one step given the (clipped) action
+    block — the post-policy half of :func:`_gen_policy_step`, shared by the
+    inline-MLP path and the collection kernels' policy_override path."""
+    f32 = jnp.float32
+    arrives, occupied = cols["arrives"], cols["occupied"]
+    cap_col, req_col = cols["cap_col"], cols["req_col"]
+    soc_t, dep_col, mask_col = cols["soc_t"], cols["dep_col"], cols["mask_col"]
     charger_actions = actions[:N]
     battery_action = actions[N : N + 1] if batt else jnp.zeros_like(pv_shift)
 

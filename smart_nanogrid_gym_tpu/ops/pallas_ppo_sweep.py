@@ -123,7 +123,7 @@ def _metric_row(vals):
 
 
 def _sweep_kernel(hp: SweepHypers, n_chunks: int, m_rows: int, streamed: bool,
-                  *all_refs):
+                  featlane: bool, *all_refs):
     if streamed:
         # PrefetchScalarGridSpec prepends the scalar-prefetch refs: the
         # per-(g, c) block indices and the per-minibatch advantage stats
@@ -176,8 +176,6 @@ def _sweep_kernel(hp: SweepHypers, n_chunks: int, m_rows: int, streamed: bool,
     (pW1, pb1, pW2, pb2, pW3, pb3,
      vW1, vb1, vW2, vb2, vW3, vb3, log_std) = [r[...] for r in params_out]
 
-    obs_sm = obs_ref[0]       # (CHUNK, F) sample-major
-    act_sm = act_ref[0]       # (CHUNK, A) sample-major
     old_logp = logp_ref[0]    # (1, CHUNK)
     ret = ret_ref[0]          # (1, CHUNK)
     if streamed:
@@ -207,20 +205,32 @@ def _sweep_kernel(hp: SweepHypers, n_chunks: int, m_rows: int, streamed: bool,
         mm_cast(W), mm_cast(x), (((1,), (1,)), ((), ())),
         preferred_element_type=f32)
 
-    # exact lanes-packing transpose of act: eye(A) @ act_smᵀ via the MXU —
-    # always f32 operands (this is a DATA transpose, not a network matmul;
-    # it must stay exact under matmul_dtype mixed precision)
-    eye_a = (jax.lax.broadcasted_iota(jnp.int32, act_sm.shape[1:] * 2, 0)
-             == jax.lax.broadcasted_iota(jnp.int32, act_sm.shape[1:] * 2, 1)
-             ).astype(f32)
-    act = jax.lax.dot_general(eye_a, act_sm, (((1,), (1,)), ((), ())),
-                              preferred_element_type=f32)  # (A, CHUNK)
+    if featlane:
+        # data already lanes-packed ((feat, CHUNK): the collection kernel's
+        # native trajectory layout) — no transposes of any kind
+        obs_fl = obs_ref[0]                    # (F, CHUNK)
+        act = act_ref[0]                       # (A, CHUNK)
+        in1 = lambda W: dot(W, obs_fl)
+        gw1 = lambda g1: lanedot(g1, obs_fl)   # (H1, F)
+    else:
+        obs_sm = obs_ref[0]                    # (CHUNK, F) sample-major
+        act_sm = act_ref[0]                    # (CHUNK, A) sample-major
+        in1 = lambda W: featdot(W, obs_sm)
+        gw1 = lambda g1: dot(g1, obs_sm)       # (H1, F)
+        # exact lanes-packing transpose of act: eye(A) @ act_smᵀ via the
+        # MXU — always f32 operands (a DATA transpose, not a network
+        # matmul; it must stay exact under matmul_dtype mixed precision)
+        eye_a = (jax.lax.broadcasted_iota(jnp.int32, act_sm.shape[1:] * 2, 0)
+                 == jax.lax.broadcasted_iota(jnp.int32, act_sm.shape[1:] * 2, 1)
+                 ).astype(f32)
+        act = jax.lax.dot_general(eye_a, act_sm, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)  # (A, CHUNK)
 
-    y1p = jnp.tanh(featdot(pW1, obs_sm) + pb1)  # (H1, CHUNK)
+    y1p = jnp.tanh(in1(pW1) + pb1)             # (H1, CHUNK)
     y2p = jnp.tanh(dot(pW2, y1p) + pb2)        # (H2, CHUNK)
     mean = dot(pW3, y2p) + pb3                 # (A, CHUNK)
 
-    y1v = jnp.tanh(featdot(vW1, obs_sm) + vb1)
+    y1v = jnp.tanh(in1(vW1) + vb1)
     y2v = jnp.tanh(dot(vW2, y1v) + vb2)
     value = dot(vW3, y2v) + vb3                # (1, CHUNK)
 
@@ -259,22 +269,22 @@ def _sweep_kernel(hp: SweepHypers, n_chunks: int, m_rows: int, streamed: bool,
 
     g_value = (hp.vf_coef * inv_m) * verr      # (1, CHUNK)  d(0.5·vf·MSE)/dv
 
-    def mlp_backward(x_sm, y1, y2, W2, W3, g_out, grad_slot):
+    def mlp_backward(y1, y2, W2, W3, g_out, grad_slot):
         """Accumulate transposed-layout grads of a 2-hidden-layer tanh MLP
-        (``x_sm`` is the sample-major input block)."""
+        (the input-layer weight grad uses the layout-matched ``gw1``)."""
         gW3 = lanedot(g_out, y2)                       # (A, H2)
         gb3 = jnp.sum(g_out, axis=1, keepdims=True)    # (A, 1)
         g2 = subdot(W3, g_out) * (1.0 - y2 * y2)       # (H2, CHUNK)
         gW2 = lanedot(g2, y1)
         gb2 = jnp.sum(g2, axis=1, keepdims=True)
         g1 = subdot(W2, g2) * (1.0 - y1 * y1)          # (H1, CHUNK)
-        gW1 = dot(g1, x_sm)                            # (H1, F)
+        gW1 = gw1(g1)                                  # (H1, F)
         gb1 = jnp.sum(g1, axis=1, keepdims=True)
         for slot, val in zip(grad_slot, (gW1, gb1, gW2, gb2, gW3, gb3)):
             slot[...] += val
 
-    mlp_backward(obs_sm, y1p, y2p, pW2, pW3, g_mean, grads[0:6])
-    mlp_backward(obs_sm, y1v, y2v, vW2, vW3, g_value, grads[6:12])
+    mlp_backward(y1p, y2p, pW2, pW3, g_mean, grads[0:6])
+    mlp_backward(y1v, y2v, vW2, vW3, g_value, grads[6:12])
     grads[12][...] += g_log_std
 
     # ------------------------------------------------- loss/metric tallies --
@@ -431,7 +441,7 @@ def ppo_sweep_pallas(
         + [pltpu.VMEM((1, 8), jnp.float32)]
     )
 
-    kernel = functools.partial(_sweep_kernel, hypers, n_chunks, M, False)
+    kernel = functools.partial(_sweep_kernel, hypers, n_chunks, M, False, False)
     outs = pl.pallas_call(
         kernel,
         grid=(G, n_chunks),
@@ -474,6 +484,7 @@ def ppo_sweep_pallas_streamed(
     granule: int,
     hypers: SweepHypers,
     interpret: bool = False,
+    data_layout: str = "sample",
 ):
     """Zero-copy variant of :func:`ppo_sweep_pallas` for the "block"
     minibatch scheme: the kernel reads the FLAT trajectory arrays directly,
@@ -498,29 +509,71 @@ def ppo_sweep_pallas_streamed(
     granule : the sample-block size; MUST equal the kernel streaming chunk
         (callers use :func:`_pick_chunk`) so DMA blocks and shuffle blocks
         coincide
+    data_layout : "sample" — flat env-major ``(S, feat)`` arrays (blocks are
+        contiguous sample runs); "featlane" — the collection kernel's native
+        ``(T, feat, B)`` trajectory layout (blocks are (timestep, lane-slab)
+        tiles of ``granule`` samples; flat block id = t·(B//granule) + slab).
+        Identical update math either way — only the DMA decomposition and the
+        shuffle partition differ.
     """
-    S, F = obs_flat.shape
-    A = act_flat.shape[1]
     G, K = block_perm.shape
-    if S % granule:
-        raise ValueError(f"flat sample count {S} not divisible by granule {granule}")
-    n_bl = S // granule
     M = K * granule
     p_leaves = _flatten_actor_critic(params)
     mu_leaves = _flatten_actor_critic(adam_mu)
     nu_leaves = _flatten_actor_critic(adam_nu)
-
     f32c = lambda x: x.astype(jnp.float32)
-    obs_b = f32c(obs_flat).reshape(n_bl, granule, F)
-    act_b = f32c(act_flat).reshape(n_bl, granule, A)
-    logp_b = f32c(logp_flat).reshape(n_bl, 1, granule)
-    adv_b = f32c(adv_flat).reshape(n_bl, 1, granule)
-    ret_b = f32c(ret_flat).reshape(n_bl, 1, granule)
+
+    if data_layout == "featlane":
+        T_, F, B = obs_flat.shape
+        A = act_flat.shape[1]
+        if B % granule:
+            raise ValueError(
+                f"lane count {B} not divisible by slab granule {granule}")
+        nslab = B // granule
+        n_bl = T_ * nslab
+        obs_b = f32c(obs_flat)
+        act_b = f32c(act_flat)
+        logp_b = f32c(logp_flat).reshape(T_, 1, B)
+        adv_b = f32c(adv_flat).reshape(T_, 1, B)
+        ret_b = f32c(ret_flat).reshape(T_, 1, B)
+        bsum = adv_b.reshape(T_, nslab, granule).sum(axis=2).reshape(-1)
+        bsq = (adv_b * adv_b).reshape(T_, nslab, granule).sum(axis=2).reshape(-1)
+
+        def data_spec(blk):
+            return pl.BlockSpec(
+                blk,
+                lambda g, c, b, s: (b[g, c] // nslab, 0, b[g, c] % nslab),
+                memory_space=pltpu.VMEM)
+
+        data_specs = [data_spec((1, F, granule)), data_spec((1, A, granule)),
+                      data_spec((1, 1, granule)), data_spec((1, 1, granule)),
+                      data_spec((1, 1, granule))]
+    else:
+        S, F = obs_flat.shape
+        A = act_flat.shape[1]
+        if S % granule:
+            raise ValueError(
+                f"flat sample count {S} not divisible by granule {granule}")
+        n_bl = S // granule
+        obs_b = f32c(obs_flat).reshape(n_bl, granule, F)
+        act_b = f32c(act_flat).reshape(n_bl, granule, A)
+        logp_b = f32c(logp_flat).reshape(n_bl, 1, granule)
+        adv_b = f32c(adv_flat).reshape(n_bl, 1, granule)
+        ret_b = f32c(ret_flat).reshape(n_bl, 1, granule)
+        bsum = adv_b.sum(axis=(1, 2))
+        bsq = (adv_b * adv_b).sum(axis=(1, 2))
+
+        def data_spec(blk):
+            return pl.BlockSpec(
+                blk, lambda g, c, b, s: (b[g, c], 0, 0),
+                memory_space=pltpu.VMEM)
+
+        data_specs = [data_spec((1, granule, F)), data_spec((1, granule, A)),
+                      data_spec((1, 1, granule)), data_spec((1, 1, granule)),
+                      data_spec((1, 1, granule))]
 
     # per-minibatch advantage stats from per-block sums (gathers n_bl-sized
     # scalar rows — trivial — instead of minibatch tensors)
-    bsum = adv_b.sum(axis=(1, 2))
-    bsq = (adv_b * adv_b).sum(axis=(1, 2))
     msum = bsum[block_perm].sum(axis=1)
     msq = bsq[block_perm].sum(axis=1)
     mean = msum / M
@@ -530,16 +583,12 @@ def ppo_sweep_pallas_streamed(
 
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda g, c, b, s: (0,) * len(shape), memory_space=pltpu.VMEM)
-    data_spec = lambda blk: pl.BlockSpec(
-        blk, lambda g, c, b, s: (b[g, c], 0, 0), memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(G, K),
         in_specs=(
-            [data_spec((1, granule, F)), data_spec((1, granule, A)),
-             data_spec((1, 1, granule)), data_spec((1, 1, granule)),
-             data_spec((1, 1, granule))]
+            data_specs
             + [pl.BlockSpec((1, 1), lambda g, c, b, s: (0, 0),
                             memory_space=pltpu.SMEM)]
             + [const_spec(x.shape) for x in p_leaves]
@@ -561,7 +610,8 @@ def ppo_sweep_pallas_streamed(
         + [jax.ShapeDtypeStruct((G, 1, 8), jnp.float32)]
     )
 
-    kernel = functools.partial(_sweep_kernel, hypers, K, M, True)
+    kernel = functools.partial(_sweep_kernel, hypers, K, M, True,
+                               data_layout == "featlane")
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -89,6 +89,20 @@ class PPOConfig:
     #             motivated env-wise over sample-wise shuffling in round 4);
     #   "auto"  — "block" for sweep_impl="pallas", "env" otherwise.
     minibatch_scheme: str = "auto"
+    # Rollout/collection implementation:
+    #   "xla"    — fused_day_rollout (reset + policy + physics as XLA ops);
+    #   "pallas" — ops/pallas_collect.py: the whole reset+rollout (day
+    #              generation, stochastic actor, log-probs, value head,
+    #              physics, trajectory writes) in ONE kernel launch with
+    #              in-kernel PRNG.  TPU-only (no CPU lowering for the
+    #              hardware PRNG); requires sweep_impl="pallas" (the
+    #              trajectories stream to the sweep kernel in its featlane
+    #              layout, zero transposes/gathers end to end) and
+    #              rollout_days=1.  Noise/generation streams differ from the
+    #              XLA path (statistically pinned, not bitwise — the
+    #              explicit-noise twin is bit-pinned on CPU by
+    #              tests/test_collect_kernel.py).
+    collect_impl: str = "xla"
 
 
 class PPOTrainState(NamedTuple):
@@ -323,9 +337,104 @@ class PPOLearner:
         approx_kl = ((ratio - 1) - jnp.log(ratio)).mean()
         return total, (policy_loss, value_loss, entropy, approx_kl)
 
+    def _kernel_train_step(self, params, opt_state, env_params, env_states,
+                           obs, k_roll, k_perm):
+        """Fully-kernelized update: one collection-kernel launch (generation
+        + stochastic actor + value head + physics, in-kernel PRNG) feeding
+        the featlane streamed sweep kernel — zero gathers or transposes
+        anywhere; XLA only runs GAE and the tiny stats/permutation math.
+
+        The trajectory noise comes from the hardware PRNG, so this path is
+        statistically (not bitwise) equivalent to the XLA rollout; the
+        collection step body itself is bit-pinned by the explicit-noise twin
+        (tests/test_collect_kernel.py)."""
+        from ..ops.pallas_collect import pallas_ppo_collect_day_seeded
+        from ..ops.pallas_ppo_sweep import (SweepHypers, _pick_chunk,
+                                            ppo_sweep_pallas_streamed)
+
+        if self.mesh is not None and self.mesh.size > 1:
+            raise ValueError("collect_impl='pallas' supports single-device "
+                             "training only (see sweep_impl)")
+        if self.ppo.rollout_days != 1:
+            raise ValueError("collect_impl='pallas' collects exactly one day "
+                             "per update (rollout_days=1)")
+        if self.ppo.sweep_impl != "pallas":
+            raise ValueError("collect_impl='pallas' requires "
+                             "sweep_impl='pallas' (featlane trajectories)")
+        B = obs.shape[0]
+        T = self.env_config.steps_per_day
+        env0 = jax.tree.map(lambda x: x[0], env_params)
+        seed = jax.random.randint(k_roll, (), 0, jnp.iinfo(jnp.int32).max)
+        obs_tfb, act_tab, logp_tb, val_tb, rew_tb, batt_fin = (
+            pallas_ppo_collect_day_seeded(
+                self.env_config, env0, params, seed,
+                env_states.batt_soc, B, check_params=False))
+
+        # episode ends at t = T-1 (day end), like the env's done flag; GAE's
+        # bootstrap value is multiplied by (1 - done) = 0 there, so no
+        # last_value evaluation is needed
+        dones = jnp.zeros((T, B), bool).at[-1].set(True)
+        advantages, returns = self._gae(rew_tb, val_tb, dones,
+                                        jnp.zeros((B,), self.dtype))
+
+        # featlane streamed sweep straight off the trajectory layout
+        n_envs = B
+        num_mb = min(self.ppo.num_minibatches, n_envs)
+        E = self.ppo.num_epochs
+        M = (n_envs // num_mb) * T
+        hidden = tuple(self.network.hidden)
+        chunk = _pick_chunk(M, self.env_config.obs_dim,
+                            self.env_config.num_actions, hidden[0], hidden[1])
+        # slab must divide the lane count; K blocks per minibatch
+        slab = next(c for c in range(min(chunk, B), 0, -1) if B % c == 0)
+        nslab = B // slab
+        n_bl = T * nslab
+        if n_bl % num_mb:
+            raise ValueError(
+                f"featlane blocks {n_bl} not divisible into {num_mb} "
+                "minibatches — pick num_minibatches dividing steps_per_day")
+        K = n_bl // num_mb
+        keys = jax.random.split(k_perm, E)
+        perms = jax.vmap(lambda k: jax.random.permutation(k, n_bl))(keys)
+        block_perm = perms.reshape(E, num_mb, K).reshape(E * num_mb, K)
+
+        found = _find_adam_state(opt_state)
+        if found is None:
+            raise ValueError("sweep_impl='pallas' requires an optax Adam state")
+        adam, rebuild = found
+        mm = self.ppo.update_matmul_dtype
+        hp = SweepHypers(
+            lr=self.ppo.learning_rate, clip_eps=self.ppo.clip_eps,
+            vf_coef=self.ppo.vf_coef, ent_coef=self.ppo.entropy_coef,
+            max_grad_norm=self.ppo.max_grad_norm,
+            matmul_dtype=None if mm in (None, jnp.float32) else mm,
+        )
+        new_params, count, mu, nu, metrics_g = ppo_sweep_pallas_streamed(
+            params, adam.count, adam.mu, adam.nu,
+            obs_tfb, act_tab, logp_tb, advantages, returns,
+            block_perm, slab, hp, interpret=self.ppo.sweep_interpret,
+            data_layout="featlane",
+        )
+        opt_state = rebuild(optax.ScaleByAdamState(count=count, mu=mu, nu=nu))
+
+        env_states = env_states._replace(batt_soc=batt_fin.astype(
+            env_states.batt_soc.dtype))
+        day_returns = rew_tb.sum(axis=0)
+        metrics = PPOMetrics(
+            policy_loss=metrics_g[:, 0].mean(),
+            value_loss=metrics_g[:, 1].mean(),
+            entropy=metrics_g[:, 2].mean(),
+            approx_kl=metrics_g[:, 3].mean(),
+            mean_return=day_returns.mean(),
+        )
+        return new_params, opt_state, env_states, obs, metrics
+
     def _shard_train_step(self, params, opt_state, env_params, env_states, obs, key):
         """Body executed per device shard; grads are psum-ed over the mesh."""
         k_roll, k_perm = jax.random.split(key)
+        if self.ppo.collect_impl == "pallas":
+            return self._kernel_train_step(
+                params, opt_state, env_params, env_states, obs, k_roll, k_perm)
         env_states, obs, traj = self._rollout(params, env_params, env_states, obs, k_roll)
         t_obs, t_act, t_logp, t_val, t_rew, t_done = traj
         _, _, last_value = self.network.apply(params, obs)
@@ -556,6 +665,16 @@ class PPOLearner:
         """The jitted (optionally shard_map-ped) train step."""
         if self._train_step is not None:
             return self._train_step
+        if (self.ppo.collect_impl == "pallas"
+                and getattr(self, "nanogrid_params_batched", None) is not None):
+            # the collection kernel bakes reference constants; check eagerly
+            # here (params are traced inside the jitted step)
+            from ..ops.param_guard import check_baked_params
+
+            check_baked_params(
+                self.env_config,
+                jax.tree.map(lambda x: x[0], self.nanogrid_params_batched),
+                "PPOConfig.collect_impl='pallas'", generation=True)
         self._train_step = jax.jit(self._make_train_step_body())
         return self._train_step
 

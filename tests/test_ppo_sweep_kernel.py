@@ -225,3 +225,62 @@ def test_streamed_matches_materialized_kernel():
     assert int(c_s) == int(c_m) == G
     _tree_allclose(p_s, p_m, rtol=1e-5, atol=1e-6, msg="streamed params")
     _tree_allclose(met_s, met_m, rtol=1e-4, atol=1e-5, msg="streamed metrics")
+
+
+def test_featlane_streamed_matches_materialized_kernel():
+    """data_layout="featlane" (the collection kernel's (T, F, B) trajectory
+    layout, blocks = (timestep, lane-slab) tiles) produces the same update as
+    hand-materializing those exact minibatches for the sample-major kernel."""
+    from smart_nanogrid_gym_tpu.ops.pallas_ppo_sweep import (
+        SweepHypers, ppo_sweep_pallas, ppo_sweep_pallas_streamed)
+    from smart_nanogrid_gym_tpu.solvers.networks import ActorCritic
+
+    key = jax.random.PRNGKey(17)
+    F, A, T, B = 25, 9, 6, 64
+    slab, G = 32, 4
+    nslab = B // slab
+    n_bl = T * nslab                      # 12 blocks
+    K = 3
+    M = K * slab
+    net = ActorCritic(action_dim=A)
+    params = net.init(key, jnp.zeros((1, F), jnp.float32))
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    ks = jax.random.split(key, 6)
+    obs_tfb = jax.random.normal(ks[0], (T, F, B), jnp.float32)
+    act_tab = jax.random.normal(ks[1], (T, A, B), jnp.float32)
+    logp_tb = jax.random.normal(ks[2], (T, B), jnp.float32)
+    adv_tb = jax.random.normal(ks[3], (T, B), jnp.float32)
+    ret_tb = jax.random.normal(ks[4], (T, B), jnp.float32)
+    block_perm = jax.vmap(lambda k: jax.random.permutation(k, n_bl))(
+        jax.random.split(ks[5], G))[:, :K].astype(jnp.int32)
+
+    hp = SweepHypers(lr=3e-4, clip_eps=0.2, vf_coef=0.5, ent_coef=0.0,
+                     max_grad_norm=0.5)
+    p_s, c_s, *_, met_s = ppo_sweep_pallas_streamed(
+        params, jnp.int32(0), zeros, zeros,
+        obs_tfb, act_tab, logp_tb, adv_tb, ret_tb, block_perm, slab, hp,
+        interpret=True, data_layout="featlane")
+
+    # materialize the identical (t, slab) minibatch composition by hand:
+    # block b = (t = b // nslab, s = b % nslab), samples sample-major
+    def take(x_tb):                     # (T, feat, B) -> (G, M, feat)
+        feat = x_tb.shape[1]
+        tiles = x_tb.reshape(T, feat, nslab, slab).transpose(0, 2, 3, 1)
+        flat = tiles.reshape(n_bl, slab, feat)
+        return flat[block_perm].reshape(G, M, feat)
+
+    def take_row(x_tb):                 # (T, B) -> (G, M)
+        tiles = x_tb.reshape(T, nslab, slab)
+        return tiles.reshape(n_bl, slab)[block_perm].reshape(G, M)
+
+    adv_g = take_row(adv_tb)
+    nadv_g = (adv_g - adv_g.mean(axis=1, keepdims=True)) / (
+        adv_g.std(axis=1, keepdims=True) + 1e-8)
+    p_m, c_m, *_, met_m = ppo_sweep_pallas(
+        params, jnp.int32(0), zeros, zeros,
+        take(obs_tfb), take(act_tab), take_row(logp_tb), nadv_g,
+        take_row(ret_tb), hp, interpret=True, chunk_override=slab)
+
+    assert int(c_s) == int(c_m) == G
+    _tree_allclose(p_s, p_m, rtol=1e-5, atol=1e-6, msg="featlane params")
+    _tree_allclose(met_s, met_m, rtol=1e-4, atol=1e-5, msg="featlane metrics")

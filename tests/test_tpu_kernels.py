@@ -330,3 +330,92 @@ def test_ddpg_actor_multiday_kernel_runs_at_scale():
     # an untrained tanh actor charges aggressively: far better than idle
     # (~ -950) and worse than a trained policy (~ -50)
     assert -2000 < out["mean_day_return"] < 0, out
+
+
+def test_ppo_collect_seeded_statistics_match_xla_rollout():
+    """The seeded collection kernel (in-kernel PRNG generation + Box-Muller
+    action noise) must reproduce the XLA rollout's distributions: mean day
+    reward, mean |action|, mean value and logp over ~50k env-days.  Derived
+    bounds per _assert_stats_match's rationale; the step body itself is
+    bit-pinned by the explicit-noise twin (tests/test_collect_kernel.py)."""
+    import functools as _ft
+
+    from smart_nanogrid_gym_tpu.core.rollout import fused_day_rollout
+    from smart_nanogrid_gym_tpu.core.transition import reset as core_reset
+    from smart_nanogrid_gym_tpu.ops.pallas_collect import (
+        pallas_ppo_collect_day_seeded)
+    from smart_nanogrid_gym_tpu.solvers.networks import ActorCritic
+    from smart_nanogrid_gym_tpu.solvers.ppo import _gaussian_logp
+
+    config = _config()
+    with jax.default_device(_TPUS[0]):
+        params = make_params(config, dtype=jnp.float32)
+        net = ActorCritic(action_dim=config.num_actions)
+        net_params = net.init(jax.random.PRNGKey(42),
+                              jnp.zeros((1, config.obs_dim)))
+        net_params = jax.tree.map(
+            lambda x: x + 0.05 if x.ndim == 1 else x, net_params)
+        B, DAYS = 512, 40
+
+        @jax.jit
+        def kernel_stats(seed):
+            def day(carry, i):
+                batt, acc = carry
+                obs, act, logp, val, rew, batt = (
+                    pallas_ppo_collect_day_seeded(
+                        config, params, net_params, seed + i * 7, batt, B,
+                        check_params=False))
+                day_ret = rew.sum(axis=0).mean()
+                return (batt, acc), jnp.stack([
+                    day_ret, jnp.abs(act).mean(), val.mean(), logp.mean()])
+            (_, _), rows = jax.lax.scan(
+                day, (jnp.full((B,), 0.5, jnp.float32), 0.0),
+                jnp.arange(DAYS))
+            return rows.mean(axis=0)
+
+        low, high = config.action_bounds()
+        low = jnp.asarray(low, jnp.float32)
+        high = jnp.asarray(high, jnp.float32)
+        bparams = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), params)
+        reset_fn = jax.vmap(_ft.partial(core_reset, config))
+
+        @jax.jit
+        def xla_stats(seed0):
+            def day(carry, i):
+                batt = carry
+                keys = jax.random.split(
+                    jax.random.fold_in(jax.random.PRNGKey(21), seed0 + i), B)
+                states, _ = reset_fn(bparams, keys, batt, None)
+
+                def policy_step(ob, key_t):
+                    mean, log_std, value = net.apply(net_params, ob)
+                    a = mean + jnp.exp(log_std) * jax.random.normal(
+                        key_t, mean.shape, jnp.float32)
+                    lp = _gaussian_logp(mean, log_std, a)
+                    return jnp.clip(a, low, high), (a, lp, value)
+
+                states, (obs_traj, rew, dones, aux) = fused_day_rollout(
+                    config, bparams, states, policy_step,
+                    jax.random.fold_in(jax.random.PRNGKey(22), seed0 + i),
+                    policy_aux=True)
+                a_t, lp_t, v_t = aux
+                row = jnp.stack([rew.sum(axis=0).mean(),
+                                 jnp.abs(a_t).mean(), v_t.mean(),
+                                 lp_t.mean()])
+                return states.batt_soc, row
+            _, rows = jax.lax.scan(day, jnp.full((B,), 0.5, jnp.float32),
+                                   jnp.arange(DAYS))
+            return rows.mean(axis=0)
+
+        def kfn(a):
+            s = np.asarray(jax.block_until_ready(kernel_stats(1000 * a)))
+            return float(s[0]), float(abs(s[1]) + abs(s[2]) + abs(s[3]))
+
+        def xfn(a):
+            s = np.asarray(jax.block_until_ready(xla_stats(100 * a)))
+            return float(s[0]), float(abs(s[1]) + abs(s[2]) + abs(s[3]))
+
+        # reuse the derived-bound machinery on (day-return mean, aux-mean
+        # bundle); n = env-days per side
+        _assert_stats_match(kfn, xfn, n_kernel=B * DAYS, n_oracle=B * DAYS)
