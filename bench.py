@@ -440,6 +440,25 @@ def bench_all(config, params, out_path="BENCH_TABLE.json"):
 
     results["ppo_train_update_unamortized"] = _timeit(ppo_one, steps_per_update)
 
+    # 6b. fully-kernelized PPO training (round 5): ONE collection-kernel
+    # launch (generation + stochastic actor + value head + physics, in-kernel
+    # PRNG) feeding the whole-sweep kernel (all 40 grad steps, params+Adam in
+    # VMEM) through featlane streaming — zero gathers/transposes; XLA runs
+    # only GAE and the block-permutation math.  The sweep kernel runs at its
+    # VPU compute bound (docs/PERFORMANCE.md §5).
+    klearner = PPOLearner(config, PPOConfig(sweep_impl="pallas",
+                                            collect_impl="pallas"))
+    kppo_state = klearner.init(jax.random.PRNGKey(0), params, batch_size=BATCH)
+    ktrain_many = klearner.build_train_many(PPO_UPDATES)
+
+    def kppo_many(i):
+        jax.block_until_ready(
+            ktrain_many(kppo_state, klearner.nanogrid_params_batched))
+
+    results["ppo_train_update_kernel"] = _timeit(
+        kppo_many, steps_per_update * PPO_UPDATES)
+    del kppo_state
+
     # DDPG: collect one day + 24 gradient steps (batch 256) per update
     from smart_nanogrid_gym_tpu.solvers.ddpg import DDPGConfig, DDPGLearner
 
@@ -452,6 +471,24 @@ def bench_all(config, params, out_path="BENCH_TABLE.json"):
         jax.block_until_ready(ddpg_many(ddpg_state, dlearner.nanogrid_params_batched))
 
     results["ddpg_train_update"] = _timeit(ddpg_call, steps_per_update * DDPG_UPDATES)
+
+    # 6c. fully-kernelized DDPG training: collection kernel (in-kernel
+    # generation, explicit OU stream) + whole-sweep kernel with bf16 matmul
+    # operands (a measured WIN at the 400-wide critic/actor, unlike PPO's
+    # K<=64 shapes — docs/PERFORMANCE.md §5)
+    kdlearner = DDPGLearner(config, DDPGConfig(
+        buffer_days=10, sweep_impl="pallas", collect_impl="pallas",
+        update_matmul_dtype=jnp.bfloat16))
+    kddpg_state = kdlearner.init(jax.random.PRNGKey(1), params, batch_size=BATCH)
+    kddpg_many = kdlearner.build_train_many(DDPG_UPDATES)
+
+    def kddpg_call(i):
+        jax.block_until_ready(
+            kddpg_many(kddpg_state, kdlearner.nanogrid_params_batched))
+
+    results["ddpg_train_update_kernel"] = _timeit(
+        kddpg_call, steps_per_update * DDPG_UPDATES)
+    del kddpg_state
 
     del ppo_state, ddpg_state  # free the replay buffer before the native runs
 

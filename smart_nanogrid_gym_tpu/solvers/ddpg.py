@@ -51,6 +51,12 @@ class DDPGConfig:
     # MXU's 3-pass f32 decomposition to one pass — see
     # pallas_ppo_sweep.SweepHypers.matmul_dtype.
     update_matmul_dtype: object | None = None
+    # collection implementation: "xla" (fused_day_rollout) or "pallas"
+    # (ops/pallas_collect.py::pallas_ddpg_collect_day_seeded — generation +
+    # actor + OU + physics + trajectory writes in one launch; generation
+    # uses the in-kernel PRNG while the OU stream stays an explicit input.
+    # TPU-only; whole-day collects only).
+    collect_impl: str = "xla"
 
 
 class ReplayBuffer(NamedTuple):
@@ -188,6 +194,50 @@ class DDPGLearner:
             return ou, ou
 
         ou_final, ou_seq = jax.lax.scan(ou_scan, ou0, gaussians)
+
+        if (self.cfg.collect_impl == "pallas"
+                and not self._force_sequential_collect):
+            if T != self.env_config.steps_per_day:
+                raise ValueError("collect_impl='pallas' collects whole days "
+                                 "(steps_per_update == steps_per_day)")
+            if self.mesh is not None and self.mesh.size > 1:
+                raise ValueError("collect_impl='pallas' supports "
+                                 "single-device training only")
+            from ..ops.pallas_collect import pallas_ddpg_collect_day_seeded
+
+            B = batch
+            A = self.env_config.num_actions
+            # OU sequence in the kernel's (A, B) lanes layout (a different
+            # draw SHAPE than the XLA path's (B, A) — the stream is not
+            # bitwise comparable across collect_impls, only within one)
+            gaussians_k = jax.random.normal(k_noise, (T, A, B), self.dtype)
+
+            def ou_scan_k(ou, g_t):
+                ou = ou_step(ou, g_t, theta, sigma, ou_dt)
+                return ou, ou
+
+            ou_final_k, ou_seq_k = jax.lax.scan(
+                ou_scan_k, jnp.zeros((A, B), self.dtype), gaussians_k)
+
+            seed = jax.random.randint(k_day, (), 0, jnp.iinfo(jnp.int32).max)
+            obs_tfb, act_tab, rew_tb, next_tfb, batt_fin = (
+                pallas_ddpg_collect_day_seeded(
+                    self.env_config,
+                    jax.tree.map(lambda x: x[0], env_params),
+                    state.actor_params, seed, ou_seq_k,
+                    state.env_states.batt_soc, B, check_params=False))
+            t_obs = jnp.swapaxes(obs_tfb, 1, 2).astype(self.dtype)
+            t_act = jnp.swapaxes(act_tab, 1, 2).astype(self.dtype)
+            t_next = jnp.swapaxes(next_tfb, 1, 2).astype(self.dtype)
+            dones = jnp.zeros((T, B), bool).at[-1].set(True)
+            buffer = self._insert_day(
+                state.buffer, t_obs, t_act, rew_tb.astype(self.dtype),
+                t_next, dones)
+            env_states = state.env_states._replace(
+                batt_soc=batt_fin.astype(state.env_states.batt_soc.dtype))
+            obs = t_next[-1]
+            return (env_states, obs, jnp.swapaxes(ou_final_k, 0, 1), buffer,
+                    rew_tb)
 
         if T == self.env_config.steps_per_day and not self._force_sequential_collect:
             def policy_step(ob, key_t, ou_t):
@@ -451,6 +501,16 @@ class DDPGLearner:
 
     def build_train_step(self):
         if self._train_step is None:
+            if (self.cfg.collect_impl == "pallas"
+                    and getattr(self, "nanogrid_params_batched", None) is not None):
+                # the collection kernel bakes reference constants; check
+                # eagerly (params are traced inside the jitted step)
+                from ..ops.param_guard import check_baked_params
+
+                check_baked_params(
+                    self.env_config,
+                    jax.tree.map(lambda x: x[0], self.nanogrid_params_batched),
+                    "DDPGConfig.collect_impl='pallas'", generation=True)
             self._train_step = jax.jit(self._make_body())
         return self._train_step
 

@@ -124,3 +124,68 @@ def test_collect_day_no_battery_no_pv_variant():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(k_logp), np.asarray(x[2]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_ddpg_collect_day_matches_xla_rollout():
+    """The explicit-uniforms DDPG collection twin (deterministic actor + OU
+    via policy_xs) matches fused_day_rollout step for step: obs, clipped
+    actions, rewards, next_obs (including the trailing day-end observe), and
+    the carried battery SoC."""
+    from smart_nanogrid_gym_tpu.ops.pallas_collect import pallas_ddpg_collect_day
+    from smart_nanogrid_gym_tpu.solvers.networks import DDPGActor
+
+    config = NanogridConfig(num_chargers=8, pv_system=True,
+                            battery_system=True, penalty_mode="sparse")
+    B = 256
+    params = make_params(config, dtype=jnp.float32)
+    T, N, A = config.steps_per_day, config.num_chargers, config.num_actions
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 5)
+    uniforms = jax.random.uniform(ks[0], (T, 5, N, B), jnp.float32)
+    ou_seq = 0.3 * jax.random.normal(ks[1], (T, A, B), jnp.float32)
+    pv_shift = jnp.floor(jax.random.uniform(ks[2], (B,), jnp.float32) * 181.0) / 100.0
+    batt0 = jax.random.uniform(ks[3], (B,), jnp.float32)
+    low, high = config.action_bounds()
+    actor = DDPGActor(A, tuple(low.tolist()), tuple(high.tolist()))
+    net_params = actor.init(ks[4], jnp.zeros((1, config.obs_dim), jnp.float32))
+
+    k_obs, k_act, k_rew, k_next, k_batt = pallas_ddpg_collect_day(
+        config, params, net_params, uniforms, ou_seq, pv_shift, batt0,
+        interpret=True)
+
+    # XLA twin
+    low_a = jnp.asarray(low, jnp.float32)
+    high_a = jnp.asarray(high, jnp.float32)
+    bparams = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), params)
+    gen = jax.vmap(
+        lambda u: generate_schedule(jax.random.PRNGKey(0), config, params,
+                                    uniforms=u),
+        in_axes=3, out_axes=0)
+    schedules = gen(uniforms)
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    states, obs = jax.vmap(functools.partial(core_reset, config))(
+        bparams, keys, batt0, schedules)
+    states = states._replace(pv_shift=pv_shift)
+
+    def policy_step(ob, key_t, ou_t):
+        a = actor.apply(net_params, ob)
+        a = jnp.clip(a + ou_t, low_a, high_a)
+        return a, (ob, a)
+
+    xs = jnp.swapaxes(ou_seq, 1, 2)
+    states, (obs_traj, rewards, dones, aux) = fused_day_rollout(
+        config, bparams, states, policy_step, jax.random.PRNGKey(2),
+        policy_aux=True, policy_xs=xs)
+    x_obs, x_act = aux
+
+    np.testing.assert_allclose(np.asarray(k_obs), np.asarray(
+        jnp.swapaxes(x_obs, 1, 2)), rtol=1e-6, atol=1e-6, err_msg="obs")
+    np.testing.assert_allclose(np.asarray(k_act), np.asarray(
+        jnp.swapaxes(x_act, 1, 2)), rtol=1e-5, atol=1e-5, err_msg="actions")
+    np.testing.assert_allclose(np.asarray(k_rew), np.asarray(rewards),
+                               rtol=1e-5, atol=1e-5, err_msg="rewards")
+    np.testing.assert_allclose(np.asarray(k_next), np.asarray(
+        jnp.swapaxes(obs_traj, 1, 2)), rtol=1e-5, atol=1e-5,
+        err_msg="next_obs")
+    np.testing.assert_allclose(np.asarray(k_batt), np.asarray(states.batt_soc),
+                               rtol=1e-5, atol=1e-6, err_msg="battery")
