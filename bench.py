@@ -579,6 +579,16 @@ def bench_train_profile(config, params, out_path="TRAIN_PROFILE.json"):
     t_gae = timed(scanned(include_gae=True))
     t_full = timed(lambda i: jax.block_until_ready(full(state, env_params)))
 
+    # the fully-kernelized path (round 5): collection kernel + whole-sweep
+    # kernel, two launches per update — reported as a total (its phases are
+    # inside the kernels; see docs/PERFORMANCE.md §5b for the decomposition)
+    klearner = PPOLearner(config, PPOConfig(sweep_impl="pallas",
+                                            collect_impl="pallas"))
+    kstate = klearner.init(jax.random.PRNGKey(0), params, batch_size=BATCH)
+    kfull = klearner.build_train_many(REPS)
+    t_kernel = timed(
+        lambda i: jax.block_until_ready(kfull(kstate, klearner.nanogrid_params_batched)))
+
     report = {
         "batch": BATCH,
         "updates_per_call": REPS,
@@ -589,7 +599,9 @@ def bench_train_profile(config, params, out_path="TRAIN_PROFILE.json"):
             "update_sweep_10ep_x_4mb": round(max(t_full - t_gae, 0.0) / REPS, 6),
             "total": round(t_full / REPS, 6),
         },
+        "kernel_path_sec_per_update": round(t_kernel / REPS, 6),
         "train_env_steps_per_sec": round(steps / t_full, 1),
+        "kernel_train_env_steps_per_sec": round(steps / t_kernel, 1),
     }
     with open(out_path, "w") as fp:
         json.dump(report, fp, indent=2)

@@ -42,7 +42,9 @@ def test_committed_checkpoint_beats_rbc():
     learner = PPOLearner(config)
     template = learner.init(jax.random.PRNGKey(0), params, batch_size=1).params
     step = latest_step(ART)
-    assert step == 9_830_400  # 400 updates x 1024 envs x 24 steps
+    # 9.83M (round 3) continued to 108.1M (round 5 — documented plateau at
+    # mean return ~-50, see eval.json's note)
+    assert step == 108_134_400
     net_params = restore_checkpoint(ART, step, template)
 
     rbc = make_rbc_policy_fn(config)
@@ -63,5 +65,46 @@ def test_committed_checkpoint_beats_rbc():
 def test_eval_sidecar_consistent():
     with open(os.path.join(ART, "eval.json")) as fp:
         ev = json.load(fp)
-    assert ev["ppo"]["mean"] > ev["rbc"]["mean"] > ev["idle"]["mean"]
-    assert ev["env_steps_trained"] == 9_830_400
+    assert ev["ppo"]["mean"] > ev["ddpg"]["mean"] > ev["rbc"]["mean"] \
+        > ev["idle"]["mean"]
+    assert ev["env_steps_trained"] == 108_134_400
+
+
+DDPG_ART = os.path.join(os.path.dirname(ART),
+                        "DDPG-b-pv-bounded-sparse-4ch-1h")
+
+
+@pytest.mark.skipif(not os.path.isdir(DDPG_ART), reason="artifact absent")
+def test_ddpg_artifact_beats_rbc():
+    """Round-5 DDPG artifact (49.2M env-steps): the restored actor must keep
+    beating the RBC baseline by a wide margin on fresh paired days (recorded
+    paired eval: ddpg -68.5 vs rbc -167.6 vs idle -962.5)."""
+    from smart_nanogrid_gym_tpu.solvers.ddpg import DDPGConfig, DDPGLearner
+
+    with open(os.path.join(DDPG_ART, "config.json")) as fp:
+        meta = json.load(fp)
+    config = NanogridConfig(
+        num_chargers=meta["num_chargers"], pv_system=meta["pv_system"],
+        battery_system=meta["battery_system"],
+        vehicle_to_everything=meta["vehicle_to_everything"],
+        penalty_mode=meta["penalty_mode"],
+        time_interval=meta["time_interval"],
+    )
+    params = make_params(config, dtype=jnp.float32)
+    learner = DDPGLearner(config, DDPGConfig(buffer_days=2, gradient_steps=1))
+    template = learner.init(
+        jax.random.PRNGKey(0), params, batch_size=1).actor_params
+    step = latest_step(DDPG_ART)
+    assert step == 49_152_000
+    actor_params = restore_checkpoint(DDPG_ART, step, template)
+
+    rbc = make_rbc_policy_fn(config)
+    res = evaluate_policies_same_days(
+        config, params,
+        {"ddpg": learner.policy_fn(actor_params),
+         "rbc": lambda o, k: rbc(o)},
+        num_days=64, seed=123,
+    )
+    ddpg_r, rbc_r = res["ddpg"].mean(), res["rbc"].mean()
+    assert ddpg_r > rbc_r * 0.6, (ddpg_r, rbc_r)
+    assert ddpg_r > -110.0, ddpg_r
