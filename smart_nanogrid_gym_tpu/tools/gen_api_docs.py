@@ -44,6 +44,13 @@ SURFACE: list[tuple[str, list[str] | None]] = [
      ["pallas_gen_rbc_day", "pallas_gen_rbc_multiday"]),
     ("smart_nanogrid_gym_tpu.ops.pallas_gen_policy_rollout",
      ["pallas_gen_policy_day", "pallas_gen_policy_multiday"]),
+    ("smart_nanogrid_gym_tpu.ops.pallas_ppo_sweep",
+     ["SweepHypers", "ppo_sweep_pallas", "ppo_sweep_pallas_streamed"]),
+    ("smart_nanogrid_gym_tpu.ops.pallas_ddpg_sweep",
+     ["DDPGSweepHypers", "ddpg_sweep_pallas"]),
+    ("smart_nanogrid_gym_tpu.ops.pallas_collect",
+     ["pallas_ppo_collect_day", "pallas_ppo_collect_day_seeded",
+      "pallas_ddpg_collect_day", "pallas_ddpg_collect_day_seeded"]),
     ("smart_nanogrid_gym_tpu.ops.param_guard", None),
     ("smart_nanogrid_gym_tpu.native", ["NativeEngine", "NativeBatchEngine",
                                        "generate_schedule_native"]),
