@@ -13,7 +13,6 @@ rtol 1e-5 (VERDICT r4 item 1's bar); a full 2-epoch sweep compounds ~4
 steps of that rounding through Adam and is compared at 1e-4.
 """
 
-import dataclasses
 import functools
 
 import jax

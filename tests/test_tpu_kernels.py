@@ -419,3 +419,36 @@ def test_ppo_collect_seeded_statistics_match_xla_rollout():
         # reuse the derived-bound machinery on (day-return mean, aux-mean
         # bundle); n = env-days per side
         _assert_stats_match(kfn, xfn, n_kernel=B * DAYS, n_oracle=B * DAYS)
+
+
+def test_fully_kernelized_training_paths_learn_on_chip():
+    """The deployment configuration — collect_impl='pallas' +
+    sweep_impl='pallas' for PPO, plus the DDPG twin — must train on the real
+    chip: finite metrics, improving mean return over 60 updates from scratch
+    (PPO), finite losses and a sane replay/exploration loop (DDPG)."""
+    from smart_nanogrid_gym_tpu.solvers.ddpg import DDPGConfig, DDPGLearner
+    from smart_nanogrid_gym_tpu.solvers.ppo import PPOConfig, PPOLearner
+
+    config = _config()
+    with jax.default_device(_TPUS[0]):
+        params = make_params(config, dtype=jnp.float32)
+
+        learner = PPOLearner(config, PPOConfig(sweep_impl="pallas",
+                                               collect_impl="pallas"))
+        state = learner.init(jax.random.PRNGKey(0), params, batch_size=512)
+        state, metrics = learner.build_train_many(60)(
+            state, learner.nanogrid_params_batched)
+        r = np.asarray(jax.device_get(metrics.mean_return))
+        assert np.isfinite(r).all()
+        # from the ~-600 random-policy regime toward the ~-200s
+        assert r[-5:].mean() > r[:5].mean() + 100.0, (r[:5], r[-5:])
+        assert np.isfinite(np.asarray(metrics.approx_kl)).all()
+
+        dlearner = DDPGLearner(config, DDPGConfig(
+            buffer_days=10, sweep_impl="pallas", collect_impl="pallas",
+            update_matmul_dtype=jnp.bfloat16))
+        dstate = dlearner.init(jax.random.PRNGKey(1), params, batch_size=512)
+        dstate, dmetrics = dlearner.build_train_many(30)(
+            dstate, dlearner.nanogrid_params_batched)
+        assert all(np.isfinite(np.asarray(v)).all() for v in dmetrics.values())
+        assert int(dstate.update_step) == 30
