@@ -283,3 +283,15 @@ def test_featlane_streamed_matches_materialized_kernel():
     assert int(c_s) == int(c_m) == G
     _tree_allclose(p_s, p_m, rtol=1e-5, atol=1e-6, msg="featlane params")
     _tree_allclose(met_s, met_m, rtol=1e-4, atol=1e-5, msg="featlane metrics")
+
+
+def test_env_scheme_pallas_sweep_matches_xla():
+    """The materialized (env-scheme) kernel path — supported when a user pins
+    minibatch_scheme='env' with sweep_impl='pallas' — matches the XLA sweep
+    on the identical env permutation stream."""
+    xla, pal, state = _learner_pair(num_epochs=2, num_minibatches=2,
+                                    minibatch_scheme="env")
+    sx, _ = xla.build_train_step()(state, xla.nanogrid_params_batched)
+    sp, _ = pal.build_train_step()(state, pal.nanogrid_params_batched)
+    _tree_allclose(sx.params, sp.params, rtol=1e-4, atol=1e-6,
+                   msg="env-scheme params after sweep")
